@@ -1,0 +1,96 @@
+"""Column ops + sort/head/sample.
+
+- remove-columns (kgtk/cli/remove_columns.py), rename-columns
+  (kgtk/cli/rename_columns.py), reorder-columns
+  (kgtk/cli/reorder_columns.py: ``...`` = all remaining, ``--trim``),
+- calc (kgtk/cli/calc.py:244-249 — `percentage` with printf format),
+- sort/sort2 (kgtk/cli/sort.py, sort2.py — POSIX sort replaced by
+  Spark's distributed external sort),
+- head/sample (reader options kgtk/io/kgtkreader.py:77-86,832-877).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def remove_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not found: {missing}")
+    return df.drop(*columns)
+
+
+def rename_columns(
+    df: DataFrame,
+    output_columns: list[str] | None = None,
+    old_columns: list[str] | None = None,
+    new_columns: list[str] | None = None,
+) -> DataFrame:
+    """Rename all (``output_columns``) or selected (old→new) columns."""
+    if output_columns is not None:
+        if len(output_columns) != len(df.columns):
+            raise ValueError("output_columns must name every column")
+        return df.toDF(*output_columns)
+    if not old_columns or not new_columns or len(old_columns) != len(new_columns):
+        raise ValueError("old_columns and new_columns must pair up")
+    out = df
+    for o, n in zip(old_columns, new_columns):
+        out = out.withColumnRenamed(o, n)
+    return out
+
+
+def reorder_columns(df: DataFrame, order: list[str], trim: bool = False) -> DataFrame:
+    """Reorder with ``...`` meaning "all remaining, original order"."""
+    explicit = [c for c in order if c != "..."]
+    missing = [c for c in explicit if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not found: {missing}")
+    if "..." in order:
+        rest = [c for c in df.columns if c not in explicit]
+        idx = order.index("...")
+        final = explicit[:idx] + rest + explicit[idx:]
+    else:
+        final = explicit
+        if not trim and len(final) != len(df.columns):
+            raise ValueError("reorder omits columns; pass trim=True to drop them")
+    return df.select(*final)
+
+
+def kgtk_calc(
+    df: DataFrame,
+    operation: str,
+    columns: list[str],
+    into: str,
+    fmt: str = "%5.2f",
+) -> DataFrame:
+    """Row-wise computed column. Reference implements `percentage`
+    (kgtk/cli/calc.py:244-249); we add the obvious arithmetic siblings."""
+    if operation == "percentage":
+        expr = F.format_string(
+            fmt, F.col(columns[0]).cast("double") * 100.0 / F.col(columns[1]).cast("double")
+        )
+    elif operation == "sum":
+        expr = sum((F.col(c).cast("double") for c in columns[1:]),
+                   F.col(columns[0]).cast("double")).cast("string")
+    elif operation == "copy":
+        expr = F.col(columns[0])
+    else:
+        raise ValueError(f"unknown calc operation {operation!r}")
+    return df.withColumn(into, expr)
+
+
+def kgtk_sort(
+    df: DataFrame, columns: list[str], reverse: bool = False
+) -> DataFrame:
+    cols = [F.col(c).desc() if reverse else F.col(c).asc() for c in columns]
+    return df.orderBy(*cols)
+
+
+def kgtk_head(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def kgtk_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    return df.sample(fraction=fraction, seed=seed)
