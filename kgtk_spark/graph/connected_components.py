@@ -1,0 +1,150 @@
+"""Connected components as an alternating large-star / small-star fixpoint.
+
+Reference behavior: kgtk/gt/connected_components.py — optional edge
+filter by label values (:150-155), weak components by default, drop
+clusters smaller than ``minimum_cluster_size`` (default 2, :181-184),
+cluster naming methods (:21-31, :76-130), output edges
+``(node, 'connected_component', cluster_id)`` (:187-189).
+
+The reference calls graph-tool's in-memory ``label_components``; that
+cannot exist at 100 TB. We use the large-star/small-star MapReduce
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): O(log² n) rounds, each round two groupBy-min joins,
+localCheckpoint between rounds to cut lineage. Node ids stay strings;
+the component representative is the lexicographically smallest member
+("lowest" naming), with the reference's other naming methods applied
+as a final per-component aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgtk_spark.schema import resolve_column
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # Bidirect, find m(u) = min(N(u) ∪ {u}), connect strictly-larger
+    # neighbors to m.
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bi.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        bi.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # Direct edges from larger to smaller endpoint, then connect all
+    # smaller-or-equal neighbors (and u itself) to the minimum.
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = directed.join(mins, "u").where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.union(self_link).where(F.col("u") != F.col("v")).distinct()
+
+
+def _components_fixpoint(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """pairs (u,v) → assignment (node, component) via large/small-star."""
+    e = pairs.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # Convergence: the edge multiset is stable (order-insensitive hash).
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # Final state is a star forest pointing at the component minimum.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    properties: list[str] | None = None,
+    minimum_cluster_size: int = 2,
+    cluster_name_method: str = "lowest",
+    cluster_name_prefix: str = "CLUS",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Weak connected components over a KGTK edge file.
+
+    Returns KGTK edges ``(node1, 'connected_component', node2=cluster_id)``
+    sorted by node, matching kgtk/gt/connected_components.py:187-189.
+    """
+    n1 = resolve_column(edges.columns, "node1") or "node1"
+    lb = resolve_column(edges.columns, "label") or "label"
+    n2 = resolve_column(edges.columns, "node2") or "node2"
+
+    src = edges
+    if properties:
+        src = src.filter(F.col(lb).isin(properties))
+
+    pairs = src.select(F.col(n1).alias("u"), F.col(n2).alias("v"))
+    assign = _components_fixpoint(pairs, max_iterations)
+
+    # Cluster-size filter (isolated nodes never appear: they have no edges).
+    sizes = assign.groupBy("component").agg(F.count(F.lit(1)).alias("__size__"))
+    assign = (
+        assign.join(sizes, "component")
+        .where(F.col("__size__") >= minimum_cluster_size)
+        .drop("__size__")
+    )
+
+    # Cluster naming (kgtk/gt/connected_components.py:76-130).
+    if cluster_name_method == "lowest":
+        named = assign.select(F.col("node"), F.col("component").alias("cluster"))
+    elif cluster_name_method == "highest":
+        names = assign.groupBy("component").agg(F.max("node").alias("cluster"))
+        named = assign.join(names, "component").select("node", "cluster")
+    elif cluster_name_method == "cat":
+        names = assign.groupBy("component").agg(
+            F.array_join(F.array_sort(F.collect_set("node")), "+").alias("cluster")
+        )
+        named = assign.join(names, "component").select("node", "cluster")
+    elif cluster_name_method == "hash":
+        # md5 + base64 of the '+'-joined sorted member list
+        # (kgtk/gt/connected_components.py:124-126).
+        names = assign.groupBy("component").agg(
+            F.base64(
+                F.unhex(F.md5(F.array_join(F.array_sort(F.collect_set("node")), "+")))
+            ).alias("cluster")
+        )
+        named = assign.join(names, "component").select("node", "cluster")
+    elif cluster_name_method == "numbered":
+        from pyspark.sql import Window
+
+        names = (
+            assign.select("component")
+            .distinct()
+            .withColumn(
+                "cluster",
+                F.concat(
+                    F.lit(cluster_name_prefix),
+                    (F.row_number().over(Window.orderBy("component")) - 1).cast("string"),
+                ),
+            )
+        )
+        named = assign.join(names, "component").select("node", "cluster")
+    else:
+        raise ValueError(f"unknown cluster_name_method {cluster_name_method!r}")
+
+    return named.select(
+        F.col("node").alias("node1"),
+        F.lit("connected_component").alias("label"),
+        F.col("cluster").alias("node2"),
+    ).orderBy("node1")

@@ -1,0 +1,228 @@
+"""Graph statistics: degrees, PageRank, HITS — DataFrame-native.
+
+Reference: kgtk/cli/graph_statistics.py:55-181 + kgtk/gt/analysis_utils.py
+(degrees :27-45, pagerank damping 0.85 :49-57, HITS :60-74, top-N :77-83).
+The reference delegates to graph-tool's C++ centrality; here PageRank is
+the canonical iterative join-aggregate (contribs = edges ⋈ ranks →
+groupBy(dst).sum; rank = (1-d)/N + d·Σ), checkpointed per iteration —
+the "PageRank-style iterative aggregation" the north_star demands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgtk_spark.schema import resolve_column
+
+
+def _edge_cols(edges: DataFrame) -> tuple[str, str, str]:
+    return (
+        resolve_column(edges.columns, "node1") or "node1",
+        resolve_column(edges.columns, "label") or "label",
+        resolve_column(edges.columns, "node2") or "node2",
+    )
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    n1, _, n2 = _edge_cols(edges)
+    return (
+        edges.select(F.col(n1).alias("node"))
+        .union(edges.select(F.col(n2).alias("node")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node in/out/total degree — two groupBy counts + outer join."""
+    n1, _, n2 = _edge_cols(edges)
+    outd = edges.groupBy(F.col(n1).alias("node")).agg(
+        F.count(F.lit(1)).alias("vertex_out_degree")
+    )
+    ind = edges.groupBy(F.col(n2).alias("node")).agg(
+        F.count(F.lit(1)).alias("vertex_in_degree")
+    )
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("vertex_in_degree", F.lit(0)).alias("vertex_in_degree"),
+            F.coalesce("vertex_out_degree", F.lit(0)).alias("vertex_out_degree"),
+        )
+        .withColumn(
+            "vertex_degree", F.col("vertex_in_degree") + F.col("vertex_out_degree")
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float = 1e-6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over the directed edge file → (node, vertex_pagerank).
+
+    Dangling-node mass is redistributed uniformly each round. Ranks are
+    probabilities (sum to 1), matching graph-tool's convention.
+    """
+    n1, _, n2 = _edge_cols(edges)
+    pairs = edges.select(F.col(n1).alias("src"), F.col(n2).alias("dst"))
+
+    verts = vertices(edges).localCheckpoint()
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("vertex_pagerank", F.lit(0.0))
+
+    out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # Pre-join the out-degree once; this frame is reused every iteration.
+    links = pairs.join(out_deg, "src").localCheckpoint()
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+
+    for i in range(max_iterations):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        # Dangling mass = rank not emitted by any out-edge.
+        emitted = contribs.agg(F.sum("inflow")).collect()[0][0] or 0.0
+        dangling = max(0.0, 1.0 - emitted)
+        new_ranks = (
+            verts.join(contribs, verts["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_iterations - 1:
+            new_ranks = new_ranks.localCheckpoint()
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tolerance:
+                break
+        else:
+            ranks = new_ranks
+
+    return ranks.withColumnRenamed("rank", "vertex_pagerank")
+
+
+def hits(
+    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 5
+) -> DataFrame:
+    """HITS hubs/authorities with L2 normalization per round."""
+    n1, _, n2 = _edge_cols(edges)
+    pairs = edges.select(F.col(n1).alias("src"), F.col(n2).alias("dst")).localCheckpoint()
+    verts = vertices(edges).localCheckpoint()
+
+    scores = verts.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for i in range(max_iterations):
+        auth = (
+            pairs.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth_raw"))
+        )
+        hub = (
+            pairs.join(auth.select(F.col("node").alias("dst"), "auth_raw"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_raw").alias("hub_raw"))
+        )
+        joined = (
+            verts.join(auth, "node", "left")
+            .join(hub, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_raw", F.lit(0.0)).alias("hub_raw"),
+                F.coalesce("auth_raw", F.lit(0.0)).alias("auth_raw"),
+            )
+        )
+        norms = joined.agg(
+            F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("hn"),
+            F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("an"),
+        ).collect()[0]
+        hn = norms["hn"] or 1.0
+        an = norms["an"] or 1.0
+        scores = joined.select(
+            "node",
+            (F.col("hub_raw") / F.lit(hn)).alias("hub"),
+            (F.col("auth_raw") / F.lit(an)).alias("auth"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+
+    return scores.select(
+        "node",
+        F.col("hub").alias("vertex_hubs"),
+        F.col("auth").alias("vertex_auth"),
+    )
+
+
+def graph_statistics(
+    edges: DataFrame,
+    compute_pagerank: bool = False,
+    compute_hits: bool = False,
+    top_n: int = 5,
+) -> DataFrame:
+    """Emit statistic edges in the reference layout
+    (kgtk/cli/graph_statistics.py:149-178): one edge per (node, statistic)
+    with ids ``node-prop-seq`` — content-derived, order-free, parallel-safe."""
+    stats = degrees(edges)
+    long_parts = []
+    for prop in ("vertex_in_degree", "vertex_out_degree", "vertex_degree"):
+        long_parts.append(
+            stats.select(
+                F.col("node").alias("node1"),
+                F.lit(prop).alias("label"),
+                F.col(prop).cast("string").alias("node2"),
+            )
+        )
+    out = long_parts[0]
+    for p in long_parts[1:]:
+        out = out.unionByName(p)
+
+    if compute_pagerank:
+        pr = pagerank(edges)
+        out = out.unionByName(
+            pr.select(
+                F.col("node").alias("node1"),
+                F.lit("vertex_pagerank").alias("label"),
+                F.col("vertex_pagerank").cast("string").alias("node2"),
+            )
+        )
+    if compute_hits:
+        h = hits(edges)
+        for prop in ("vertex_hubs", "vertex_auth"):
+            out = out.unionByName(
+                h.select(
+                    F.col("node").alias("node1"),
+                    F.lit(prop).alias("label"),
+                    F.col(prop).cast("string").alias("node2"),
+                )
+            )
+
+    return out.withColumn(
+        "id", F.concat_ws("-", "node1", "label", F.lit("1"))
+    )
+
+
+def top_relations(edges: DataFrame, n: int = 10) -> DataFrame:
+    """Top-N relation frequencies (kgtk/gt/analysis_utils.py:99-104)."""
+    _, lb, _ = _edge_cols(edges)
+    return (
+        edges.groupBy(F.col(lb).alias("relation"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "relation")
+        .limit(n)
+    )

@@ -1,0 +1,149 @@
+"""Graph-operator tests: known component structures, hand-computable
+PageRank, BFS reachability — mirroring the reference's graph-tool
+behaviors (kgtk/gt/connected_components.py, kgtk/cli/graph_statistics.py,
+kgtk/cli/reachable_nodes.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.graph import (
+    connected_components,
+    degrees,
+    graph_statistics,
+    pagerank,
+    reachable_nodes,
+)
+from kgtk_spark.graph.reachable import paths
+from kgtk_spark.graph.stats import hits, top_relations
+
+
+def edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, "p", b) for a, b in pairs], ["node1", "label", "node2"]
+    )
+
+
+def test_connected_components_two_clusters(spark):
+    # chain a-b-c-d plus pair x-y plus isolated self-contained cluster
+    df = edge_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    out = connected_components(df).collect()
+    comp = {r["node1"]: r["node2"] for r in out}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert all(r["label"] == "connected_component" for r in out)
+
+
+def test_connected_components_long_chain(spark):
+    # long chain stresses the log-rounds fixpoint
+    pairs = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)]
+    df = edge_df(spark, pairs)
+    out = connected_components(df)
+    comps = out.select("node2").distinct().collect()
+    assert len(comps) == 1
+    assert out.count() == 61
+
+
+def test_connected_components_min_size_and_properties(spark):
+    df = spark.createDataFrame(
+        [("a", "same", "b"), ("c", "other", "d")],
+        ["node1", "label", "node2"],
+    )
+    out = connected_components(df, properties=["same"]).collect()
+    nodes = {r["node1"] for r in out}
+    assert nodes == {"a", "b"}
+
+
+def test_connected_components_hash_naming(spark):
+    df = edge_df(spark, [("a", "b")])
+    out = connected_components(df, cluster_name_method="hash").collect()
+    import base64
+    import hashlib
+
+    expect = base64.b64encode(hashlib.md5(b"a+b").digest()).decode()
+    assert {r["node2"] for r in out} == {expect}
+
+
+def test_degrees(spark):
+    df = edge_df(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    d = {r["node"]: r for r in degrees(df).collect()}
+    assert d["a"]["vertex_out_degree"] == 2 and d["a"]["vertex_in_degree"] == 0
+    assert d["c"]["vertex_in_degree"] == 2 and d["c"]["vertex_degree"] == 2
+    assert d["b"]["vertex_degree"] == 2
+
+
+def test_pagerank_star(spark):
+    # star: everyone links to 'hub' → hub has max rank; ranks sum to 1
+    df = edge_df(spark, [("a", "hub"), ("b", "hub"), ("c", "hub")])
+    pr = {r["node"]: r["vertex_pagerank"] for r in pagerank(df, max_iterations=30).collect()}
+    assert pr["hub"] == max(pr.values())
+    assert abs(sum(pr.values()) - 1.0) < 1e-3
+    assert abs(pr["a"] - pr["b"]) < 1e-9
+
+
+def test_pagerank_cycle_uniform(spark):
+    df = edge_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    pr = {r["node"]: r["vertex_pagerank"] for r in pagerank(df, max_iterations=10).collect()}
+    for v in pr.values():
+        assert abs(v - 1 / 3) < 1e-6
+
+
+def test_hits(spark):
+    df = edge_df(spark, [("h1", "a1"), ("h1", "a2"), ("h2", "a1")])
+    out = {r["node"]: r for r in hits(df, max_iterations=10).collect()}
+    assert out["h1"]["vertex_hubs"] > out["h2"]["vertex_hubs"]
+    assert out["a1"]["vertex_auth"] > out["a2"]["vertex_auth"]
+
+
+def test_graph_statistics_layout(spark):
+    df = edge_df(spark, [("a", "b")])
+    out = graph_statistics(df).collect()
+    labels = {r["label"] for r in out}
+    assert labels == {"vertex_in_degree", "vertex_out_degree", "vertex_degree"}
+    assert all(r["id"] == f'{r["node1"]}-{r["label"]}-1' for r in out)
+
+
+def test_top_relations(spark):
+    df = spark.createDataFrame(
+        [("a", "P1", "b"), ("c", "P1", "d"), ("e", "P2", "f")],
+        ["node1", "label", "node2"],
+    )
+    out = top_relations(df, 1).collect()
+    assert out[0]["relation"] == "P1" and out[0]["freq"] == 2
+
+
+def test_reachable_nodes(spark):
+    df = edge_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    out = reachable_nodes(df, ["a", "x"]).collect()
+    got = {(r["node1"], r["node2"]) for r in out}
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"), ("x", "y")}
+
+
+def test_reachable_nodes_max_hops(spark):
+    df = edge_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = reachable_nodes(df, ["a"], max_hops=2).collect()
+    assert {r["node2"] for r in out} == {"b", "c"}
+
+
+def test_reachable_cycle_terminates(spark):
+    df = edge_df(spark, [("a", "b"), ("b", "a")])
+    out = reachable_nodes(df, ["a"]).collect()
+    assert {r["node2"] for r in out} == {"b"}
+
+
+def test_paths(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "p", "b", "e1"),
+            ("b", "p", "c", "e2"),
+            ("a", "p", "c", "e3"),
+        ],
+        ["node1", "label", "node2", "id"],
+    )
+    out = paths(df, ["a"], ["c"], max_hops=3).collect()
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r["node1"], []).append((int(r["label"]), r["node2"]))
+    seqs = {tuple(e for _, e in sorted(v)) for v in by_path.values()}
+    assert seqs == {("e3",), ("e1", "e2")}
