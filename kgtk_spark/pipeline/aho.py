@@ -1,0 +1,109 @@
+"""Pure-Python Aho-Corasick automaton for batched mention detection.
+
+Built once per executor from a broadcast alias list and run over Arrow
+batches of page text inside ``mapInPandas`` — the per-document cost is
+O(len(text)), independent of dictionary size, which is what makes
+mention detection over 10^12 documents tractable (a regex alternation
+over 100k aliases is not).
+
+The container has no pyahocorasick wheel; this implementation is the
+classic goto/fail/output construction (Aho & Corasick, CACM 1975).
+Matches are token-boundary checked so "Kalo 1" doesn't fire inside
+"Kalo 10".
+"""
+
+from __future__ import annotations
+
+
+class AhoCorasick:
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, patterns: list[str]):
+        # goto: list of dict char → state; out: state → list of pattern lengths
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        for pat in patterns:
+            if not pat:
+                continue
+            s = 0
+            for ch in pat:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s].append(pat)
+
+        # BFS failure links
+        from collections import deque
+
+        self.fail = [0] * len(self.goto)
+        q = deque()
+        for ch, s in self.goto[0].items():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != s else 0
+                if self.fail[s]:
+                    self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def finditer(self, text: str):
+        """Yield (start, end, pattern) for every dictionary hit."""
+        s = 0
+        goto = self.goto
+        fail = self.fail
+        out = self.out
+        for i, ch in enumerate(text):
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for pat in out[s]:
+                    yield (i - len(pat) + 1, i + 1, pat)
+
+
+def _is_word_char(c: str) -> bool:
+    return c.isalnum() or c in "_-"
+
+
+def find_mentions(text: str, automaton: AhoCorasick) -> list[tuple[int, int, str]]:
+    """Token-boundary-checked, longest-match-preferred dictionary hits."""
+    raw = []
+    for start, end, pat in automaton.finditer(text):
+        if start > 0 and _is_word_char(text[start - 1]):
+            continue
+        if end < len(text) and _is_word_char(text[end]):
+            continue
+        raw.append((start, end, pat))
+    if not raw:
+        return raw
+    # Prefer longest match at overlapping spans (sort by start, then -len).
+    raw.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+    kept: list[tuple[int, int, str]] = []
+    last_end = -1
+    for m in raw:
+        if m[0] >= last_end:
+            kept.append(m)
+            last_end = m[1]
+    return kept
+
+
+_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+
+
+def automaton_for(patterns: tuple[str, ...] | list[str]) -> AhoCorasick:
+    """Executor-local cache: one automaton per distinct dictionary object."""
+    key = id(patterns)
+    a = _AUTOMATON_CACHE.get(key)
+    if a is None:
+        a = AhoCorasick(list(patterns))
+        _AUTOMATON_CACHE.clear()  # hold at most one — dictionaries are big
+        _AUTOMATON_CACHE[key] = a
+    return a

@@ -1,0 +1,153 @@
+"""Resumable pipeline runner with a per-stage manifest.
+
+Each stage materializes to parquet under ``out_dir/<stage>/`` and
+appends a manifest row (stage, fingerprint, row count, partitions,
+duration, status) to ``out_dir/_manifest/``. A rerun skips any stage
+whose manifest row is committed with a matching fingerprint and whose
+output directory still exists — resume-from-last-committed-snapshot
+(north_rule). On a cluster with an Iceberg catalog the same writes go
+through ``writeTo(...)`` table commits; parquet-directory-plus-manifest
+is the catalog-free equivalent (the parquet job commit protocol makes
+the directory write atomic; the manifest row is written only after).
+
+Fingerprints chain: stage_fp = sha256(stage, config, upstream_fp), so
+changing an upstream stage or a config invalidates everything below it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgtk_spark.pipeline import stages as S
+
+MANIFEST_SCHEMA = (
+    "stage string, fingerprint string, rows long, partitions int, "
+    "duration_sec double, status string, committed_at double"
+)
+
+
+def _fp(*parts: str) -> str:
+    return hashlib.sha256("\x1f".join(parts).encode()).hexdigest()[:16]
+
+
+class StageManifest:
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.path = os.path.join(out_dir, "_manifest")
+
+    def committed(self) -> dict[str, str]:
+        """stage → fingerprint of committed stages."""
+        try:
+            rows = self.spark.read.parquet(self.path).filter(
+                F.col("status") == "committed"
+            ).collect()
+        except Exception:
+            return {}
+        return {r["stage"]: r["fingerprint"] for r in rows}
+
+    def record(self, stage: str, fingerprint: str, rows: int, partitions: int, duration: float):
+        df = self.spark.createDataFrame(
+            [(stage, fingerprint, rows, partitions, float(duration), "committed", time.time())],
+            MANIFEST_SCHEMA,
+        )
+        df.write.mode("append").parquet(self.path)
+
+
+def _run_stage(
+    spark: SparkSession,
+    manifest: StageManifest,
+    committed: dict[str, str],
+    out_dir: str,
+    name: str,
+    fingerprint: str,
+    compute,
+    resume: bool,
+) -> DataFrame:
+    """Run-or-resume one stage; returns the stage output DataFrame."""
+    path = os.path.join(out_dir, name)
+    if resume and committed.get(name) == fingerprint and os.path.exists(path):
+        return spark.read.parquet(path)
+    t0 = time.time()
+    df = compute()
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    n = out.count()
+    parts = out.rdd.getNumPartitions()
+    manifest.record(name, fingerprint, n, parts, time.time() - t0)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    resume: bool = True,
+    input_fingerprint: str = "",
+) -> DataFrame:
+    """pages + alias dictionary → canonical KGTK edges (also on disk).
+
+    ``input_fingerprint`` should identify the input snapshot (e.g. its
+    generator seed/row count or an Iceberg snapshot id); stages chain
+    from it, so a new input recomputes everything.
+    """
+    manifest = StageManifest(spark, out_dir)
+    committed = manifest.committed() if resume else {}
+
+    fp_text = _fp("extract_text", input_fingerprint)
+    text_df = _run_stage(
+        spark, manifest, committed, out_dir, "text", fp_text,
+        lambda: S.extract_text(pages), resume,
+    )
+
+    fp_mentions = _fp("detect_mentions", fp_text)
+    mentions = _run_stage(
+        spark, manifest, committed, out_dir, "mentions", fp_mentions,
+        lambda: S.detect_mentions(text_df, alias_dict), resume,
+    )
+
+    fp_linked = _fp("link_entities", fp_mentions)
+    linked = _run_stage(
+        spark, manifest, committed, out_dir, "linked", fp_linked,
+        lambda: S.link_entities(mentions, alias_dict), resume,
+    )
+
+    fp_triples = _fp("extract_triples", fp_linked)
+    triples = _run_stage(
+        spark, manifest, committed, out_dir, "triples", fp_triples,
+        lambda: S.extract_triples(text_df, linked), resume,
+    )
+
+    fp_canon = _fp("canonicalize", fp_triples)
+    canon = _run_stage(
+        spark, manifest, committed, out_dir, "canonical", fp_canon,
+        lambda: S.canonicalize(triples), resume,
+    )
+
+    fp_edges = _fp("materialize", fp_canon, str(n_buckets))
+    edges = _run_stage(
+        spark, manifest, committed, out_dir, "edges", fp_edges,
+        lambda: S.materialize(canon, n_buckets=n_buckets), resume,
+    )
+    return edges
+
+
+def triple_precision_recall(
+    got: DataFrame, expected: DataFrame
+) -> tuple[float, float]:
+    """P/R on distinct (node1, label, node2) triples."""
+    g = got.select("node1", "label", "node2").dropDuplicates()
+    e = expected.select("node1", "label", "node2").dropDuplicates()
+    n_got = g.count()
+    n_exp = e.count()
+    n_hit = g.join(e, ["node1", "label", "node2"], "left_semi").count()
+    precision = n_hit / n_got if n_got else 0.0
+    recall = n_hit / n_exp if n_exp else 0.0
+    return precision, recall

@@ -1,0 +1,277 @@
+"""The six pipeline stages, each a pure DataFrame → DataFrame function.
+
+Scale notes (the whole point):
+- text extraction / mention detection are mapInPandas (Arrow-batched,
+  no shuffle, linear in input bytes);
+- the alias dictionary is broadcast — mention→entity resolution is a
+  map-side join, immune to hub-entity skew (the skew-prone shuffle
+  alternative, with salting, lives in kgtk_spark/textops/skew.py for
+  dictionaries too big to broadcast);
+- triple assembly shuffles once on (url) — pages are independent, so
+  the shuffle key is uniform by construction;
+- canonicalization is the connected-components fixpoint from
+  kgtk_spark.graph over the (tiny) sameAs subgraph, applied back to the
+  full edge stream via a broadcast rewrite map;
+- materialize buckets by subject hash (explicit repartition) so the
+  downstream graph operators and compact co-locate by subject.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgtk_spark.graph.connected_components import _components_fixpoint
+from kgtk_spark.pipeline.aho import automaton_for, find_mentions
+from kgtk_spark.pipeline.webgen import PREDICATES, SAME_AS_LABEL, SAME_AS_PHRASE
+
+# ---------------------------------------------------------------------------
+# Stage 1 — text extraction (byte-identical per url)
+# ---------------------------------------------------------------------------
+
+_HEAD_RE = re.compile(rb"<head>.*?</head>", re.S)
+_P_BREAK_RE = re.compile(r"</p>\s*<p>")
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Deterministic html → text. Pinned, versioned transformation: any
+    change to this function changes extracted bytes, so it is the ONLY
+    place allowed to interpret html (per-row invariant: byte-identical
+    text per url)."""
+    body = _HEAD_RE.sub(b"", html).decode("utf-8", errors="replace")
+    body = _P_BREAK_RE.sub("\n", body)
+    body = _TAG_RE.sub("", body)
+    return html_mod.unescape(body).strip()
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Fill null ``text`` from ``html``; pages with text pass through."""
+    out_schema = T.StructType(
+        [f for f in pages.schema.fields if f.name != "html"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            need = pdf["text"].isna() & pdf["html"].notna()
+            if need.any():
+                pdf.loc[need, "text"] = pdf.loc[need, "html"].map(
+                    lambda b: extract_text_bytes(bytes(b))
+                )
+            yield pdf.drop(columns=["html"])
+
+    return pages.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — mention detection (Aho-Corasick over broadcast dictionary)
+# ---------------------------------------------------------------------------
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("begin", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+    ]
+)
+
+
+def detect_mentions(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """(url, begin, end, surface) for every dictionary hit in ``text``.
+
+    The alias list is collected once on the driver and broadcast; each
+    executor builds the automaton once (cached) and streams Arrow
+    batches through it — north_star's "batched Aho-Corasick ... built
+    once per executor from a broadcast alias dictionary".
+    """
+    spark = pages.sparkSession
+    aliases = tuple(
+        r["alias"] for r in alias_dict.select("alias").distinct().collect()
+    )
+    bc = spark.sparkContext.broadcast(aliases)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        automaton = automaton_for(bc.value)
+        for pdf in batches:
+            urls, begins, ends, surfaces = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                for b, e, pat in find_mentions(text, automaton):
+                    urls.append(url)
+                    begins.append(b)
+                    ends.append(e)
+                    surfaces.append(pat)
+            yield pd.DataFrame(
+                {"url": urls, "begin": begins, "end": ends, "surface": surfaces}
+            )
+
+    return pages.select("url", "text").mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — entity linking (broadcast map-side scoring)
+# ---------------------------------------------------------------------------
+
+def link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Resolve each mention to its best-prior entity.
+
+    Candidate generation is a broadcast join (map-side; hub aliases with
+    millions of mentions never shuffle). Scoring = alias prior; argmax
+    per mention via max_by inside the per-url aggregation — no window,
+    no extra shuffle beyond the single groupBy.
+    """
+    cand = mentions.join(F.broadcast(alias_dict), mentions["surface"] == alias_dict["alias"])
+    return (
+        cand.groupBy("url", "begin", "end", "surface")
+        .agg(
+            F.expr("max_by(entity, prior)").alias("entity"),
+            F.max("prior").alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — triple extraction (pattern-based SVO over sentences)
+# ---------------------------------------------------------------------------
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("subj_surface", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj_surface", T.StringType()),
+    ]
+)
+
+_PHRASE_TO_PRED = {phrase: p for phrase, p in PREDICATES}
+_PHRASE_TO_PRED[SAME_AS_PHRASE] = SAME_AS_LABEL
+_PHRASE_RE = re.compile(
+    r"^(?P<subj>.+?)\s+(?P<phrase>"
+    + "|".join(re.escape(p) for p in sorted(_PHRASE_TO_PRED, key=len, reverse=True))
+    + r")\s+(?P<obj>.+?)\s*\.?\s*$"
+)
+
+
+def raw_triples(pages: DataFrame) -> DataFrame:
+    """(url, subj_surface, pred, obj_surface) per matched sentence."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "subj_surface": [], "pred": [], "obj_surface": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                for sent in text.split("\n"):
+                    m = _PHRASE_RE.match(sent.strip())
+                    if not m:
+                        continue
+                    rows["url"].append(url)
+                    rows["subj_surface"].append(m.group("subj"))
+                    rows["pred"].append(_PHRASE_TO_PRED[m.group("phrase")])
+                    rows["obj_surface"].append(m.group("obj"))
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "text").mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
+def extract_triples(pages: DataFrame, linked: DataFrame) -> DataFrame:
+    """Join SVO surface forms against the page's linked mentions.
+
+    Surface → entity is resolved per url (distinct (url, surface, entity)
+    from linking), so a homonym can resolve differently on different
+    pages. Both joins key on (url, surface) — uniform by construction.
+    """
+    surf = (
+        linked.select("url", "surface", "entity", "score")
+        .groupBy("url", "surface")
+        .agg(F.expr("max_by(entity, score)").alias("entity"))
+    )
+    t = raw_triples(pages)
+    s = surf.select(
+        F.col("url").alias("u1"),
+        F.col("surface").alias("ss"),
+        F.col("entity").alias("subj"),
+    )
+    o = surf.select(
+        F.col("url").alias("u2"),
+        F.col("surface").alias("os"),
+        F.col("entity").alias("obj"),
+    )
+    return (
+        t.join(s, (t["url"] == s["u1"]) & (t["subj_surface"] == s["ss"]))
+        .join(o, (t["url"] == o["u2"]) & (t["obj_surface"] == o["os"]))
+        .select(
+            "url",
+            F.col("subj").alias("node1"),
+            F.col("pred").alias("label"),
+            F.col("obj").alias("node2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 5 — canonicalization (sameAs connected components)
+# ---------------------------------------------------------------------------
+
+def canonicalize(triples: DataFrame, same_as_label: str = SAME_AS_LABEL) -> DataFrame:
+    """Collapse sameAs clusters: rewrite node1/node2 to the cluster's
+    lexicographically-smallest member; drop the sameAs edges.
+
+    Mirrors the reference's sameAs canonicalization
+    (kgtk/cskg_utils.py:88-147) with the in-memory union-find replaced
+    by the large/small-star fixpoint. The rewrite map (one row per
+    non-canonical entity) is broadcast."""
+    same = triples.filter(F.col("label") == same_as_label)
+    rest = triples.filter(F.col("label") != same_as_label)
+
+    pairs = same.select(F.col("node1").alias("u"), F.col("node2").alias("v"))
+    if pairs.isEmpty():
+        return rest
+    assign = _components_fixpoint(pairs)  # (node, component=min member)
+    rewrite = F.broadcast(
+        assign.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__from__"), F.col("component").alias("__to__")
+        )
+    )
+    out = (
+        rest.join(rewrite, rest["node1"] == rewrite["__from__"], "left")
+        .withColumn("node1", F.coalesce("__to__", "node1"))
+        .drop("__from__", "__to__")
+    )
+    out = (
+        out.join(rewrite, out["node2"] == rewrite["__from__"], "left")
+        .withColumn("node2", F.coalesce("__to__", "node2"))
+        .drop("__from__", "__to__")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage 6 — materialize KGTK edges
+# ---------------------------------------------------------------------------
+
+def materialize(
+    triples: DataFrame,
+    n_buckets: int = 32,
+    id_style: str = "node1-label-node2-num",
+) -> DataFrame:
+    """Distinct edges with KGTK ids, bucketed by subject hash.
+
+    The id style is content-derived per group
+    (kgtk/reshape/kgtkidbuilder.py:392-400) — no global sort. The
+    explicit repartition on hash(node1) gives the downstream operators
+    (compact, graph-statistics, ifexists on node1) co-located input.
+    """
+    from kgtk_spark.operators.add_id import add_id
+
+    edges = triples.select("node1", "label", "node2").dropDuplicates()
+    edges = edges.repartition(n_buckets, F.xxhash64("node1"))
+    return add_id(edges, style=id_style).select("node1", "label", "node2", "id")

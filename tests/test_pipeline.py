@@ -1,0 +1,142 @@
+"""KG-construction pipeline tests: per-stage behavior, the end-to-end
+triple P/R ≥ 0.95 gate (BASELINE.md), byte-identical text extraction,
+and resume-from-manifest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.pipeline import (
+    alias_dictionary_df,
+    canonicalize,
+    detect_mentions,
+    expected_edges_df,
+    extract_text,
+    extract_triples,
+    generate_pages_df,
+    link_entities,
+    materialize,
+    run_pipeline,
+    triple_precision_recall,
+)
+from kgtk_spark.pipeline.aho import AhoCorasick, find_mentions
+from kgtk_spark.pipeline.stages import extract_text_bytes
+from kgtk_spark.pipeline.webgen import generate_page_rows, html_of_text
+
+
+def test_aho_corasick_basic():
+    a = AhoCorasick(["he", "she", "his", "hers"])
+    hits = sorted(m[2] for m in a.finditer("ushers"))
+    assert hits == ["he", "hers", "she"]
+
+
+def test_find_mentions_boundaries():
+    a = AhoCorasick(["Kalo 1", "Kalo 10", "Mira"])
+    text = "Kalo 10 met Mira near Kalo 1 ."
+    got = {(m[2]) for m in find_mentions(text, a)}
+    # longest match wins at position 0; "Kalo 1" inside "Kalo 10" suppressed
+    assert got == {"Kalo 10", "Mira", "Kalo 1"}
+
+
+def test_extract_text_byte_identical():
+    text = "Alpha one is located in Beta two .\nsources differ on minor points ."
+    html = html_of_text(text, "t")
+    assert extract_text_bytes(html) == text
+
+
+def test_generator_deterministic(spark):
+    r1, w1 = generate_page_rows(n_pages=20, n_entities=30, seed=7)
+    r2, w2 = generate_page_rows(n_pages=20, n_entities=30, seed=7)
+    assert r1 == r2
+    assert w1.facts == w2.facts and w1.same_as == w2.same_as
+
+
+def test_extract_text_stage(spark):
+    pages, _ = generate_pages_df(spark, n_pages=40, n_entities=30, seed=3)
+    out = extract_text(pages)
+    assert out.filter(F.col("text").isNull()).count() == 0
+    assert "html" not in out.columns
+    # byte-identical for pages whose text came from html
+    rows, _ = generate_page_rows(n_pages=40, n_entities=30, seed=3)
+    originals = {
+        u: extract_text_bytes(h) for (u, _, h, t, _) in rows if h is not None
+    }
+    got = {r["url"]: r["text"] for r in out.collect()}
+    for u, t in originals.items():
+        assert got[u] == t
+
+
+def test_mentions_and_linking(spark):
+    pages, world = generate_pages_df(spark, n_pages=30, n_entities=25, seed=5)
+    text_df = extract_text(pages)
+    ad = alias_dictionary_df(spark, world)
+    mentions = detect_mentions(text_df, ad)
+    assert mentions.count() > 0
+    linked = link_entities(mentions, ad)
+    # every mention resolves to exactly one entity
+    assert linked.count() == mentions.dropDuplicates(["url", "begin", "end"]).count()
+    ents = {r["entity"] for r in linked.select("entity").distinct().collect()}
+    valid = set(world.aliases.keys())
+    assert ents <= valid
+
+
+def test_canonicalize_rewrites_dups(spark):
+    t = spark.createDataFrame(
+        [
+            ("Q1__dup", "P31", "Q2", "u1"),
+            ("Q3", "P31", "Q1__dup", "u1"),
+            ("Q1__dup", "sameAs", "Q1", "u1"),
+        ],
+        ["node1", "label", "node2", "url"],
+    ).select("url", "node1", "label", "node2")
+    out = canonicalize(t).collect()
+    got = {(r["node1"], r["label"], r["node2"]) for r in out}
+    assert got == {("Q1", "P31", "Q2"), ("Q3", "P31", "Q1")}
+
+
+def test_materialize_ids_and_buckets(spark):
+    t = spark.createDataFrame(
+        [("u", "Q1", "P31", "Q2"), ("u", "Q1", "P31", "Q2"), ("u2", "Q3", "P50", "Q4")],
+        ["url", "node1", "label", "node2"],
+    )
+    out = materialize(t, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 2  # deduped
+    ids = {r["id"] for r in rows}
+    assert ids == {"Q1-P31-Q2-0000", "Q3-P50-Q4-0000"}
+
+
+def test_end_to_end_precision_recall(spark, tmp_path):
+    pages, world = generate_pages_df(spark, n_pages=150, n_entities=60, seed=11)
+    ad = alias_dictionary_df(spark, world)
+    edges = run_pipeline(
+        spark, pages, ad, str(tmp_path / "kg"), n_buckets=4,
+        input_fingerprint="seed11",
+    )
+    expected = expected_edges_df(spark, world)
+    p, r = triple_precision_recall(edges, expected)
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+    # KGTK schema + non-null ids
+    assert edges.columns == ["node1", "label", "node2", "id"]
+    assert edges.filter(F.col("id").isNull() | (F.col("id") == "")).count() == 0
+
+
+def test_pipeline_resume_skips_committed(spark, tmp_path):
+    out_dir = str(tmp_path / "kg2")
+    pages, world = generate_pages_df(spark, n_pages=40, n_entities=20, seed=13)
+    ad = alias_dictionary_df(spark, world)
+    run_pipeline(spark, pages, ad, out_dir, n_buckets=2, input_fingerprint="s13")
+
+    manifest1 = spark.read.parquet(f"{out_dir}/_manifest")
+    n1 = manifest1.count()
+    assert n1 == 6  # six stages committed
+
+    # Rerun: everything committed → no new manifest rows.
+    run_pipeline(spark, pages, ad, out_dir, n_buckets=2, input_fingerprint="s13")
+    assert spark.read.parquet(f"{out_dir}/_manifest").count() == n1
+
+    # Changing the input fingerprint invalidates the whole chain.
+    run_pipeline(spark, pages, ad, out_dir, n_buckets=2, input_fingerprint="other")
+    assert spark.read.parquet(f"{out_dir}/_manifest").count() == n1 + 6
