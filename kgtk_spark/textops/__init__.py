@@ -1,0 +1,52 @@
+"""Large-scale training-data operations over document/embedding tables.
+
+These go beyond the reference's operator set: the ops a 100 TB
+training-data pipeline needs — dedup family (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search (ANN),
+text analysis (language-id, quality, tokens, fingerprints), and
+multimodal binary-column plumbing.
+"""
+
+from kgtk_spark.textops.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup,
+    simhash_signatures,
+)
+from kgtk_spark.textops.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucketed_topk,
+)
+from kgtk_spark.textops.quality import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from kgtk_spark.textops.skew import salted_join
+from kgtk_spark.textops.multimodal import (
+    attach_binary_payload,
+    extract_features_stub,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_near_dup",
+    "simhash_signatures",
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "cosine_pairs",
+    "language_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "salted_join",
+    "attach_binary_payload",
+    "extract_features_stub",
+]

@@ -1,0 +1,97 @@
+"""Text analysis: language-id, quality scoring, token counts, fingerprints.
+
+All four are pure Column expressions (whole-stage codegen, no Python) and
+each has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql`` — the
+formulas below are written to be reproducible verbatim in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram heuristic.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+_PUNCT = ".,;:!?"
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    # (len(s) - len(replace(s, needle, ''))) / len(needle) — portable SQL.
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / F.lit(
+        len(needle)
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (empty text → 0)."""
+    c = F.trim(F.col(text_col))
+    n = F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+    return df.withColumn(out_col, n)
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-n-gram language heuristic: argmax of per-language marker
+    hit counts; 'und' (undetermined) when nothing fires."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(padded, m) for m in markers[1:]),
+            _count_occurrences(padded, markers[0]),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(scores):  # deterministic tie-break by language code
+        s = scores[lang]
+        better = s > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, s).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / mean-word-length heuristics.
+
+    Adds: n_chars_q, punct_ratio, word_count, mean_word_len, quality
+    (1.0 minus penalties; clamped to [0,1]). Formula mirrors the
+    classic Gopher-style length and symbol-ratio rules.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    punct = sum(
+        (_count_occurrences(c, ch) for ch in _PUNCT[1:]),
+        _count_occurrences(c, _PUNCT[0]),
+    )
+    trimmed = F.trim(c)
+    words = F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    mean_word = F.when(words > 0, (n_chars - words + 1) / words).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(1.0)
+        - F.when(n_chars < 20, 0.5).otherwise(0.0)
+        - F.when(punct_ratio > 0.1, 0.3).otherwise(0.0)
+        - F.when((mean_word < 2) | (mean_word > 15), 0.2).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("word_count", words)
+        .withColumn("mean_word_len", F.round(mean_word, 6))
+        .withColumn("quality", F.greatest(F.round(quality, 6), F.lit(0.0)))
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text — the cross-engine-stable normalize+hash."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))

@@ -1,0 +1,177 @@
+"""Training-data ops over the driver's documents/embeddings tables
+(sf0.001) plus synthetic near-dup fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.textops import (
+    attach_binary_payload,
+    brute_force_topk,
+    cosine_pairs,
+    doc_fingerprint,
+    exact_dedup,
+    extract_features_stub,
+    language_id,
+    lsh_bucketed_topk,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    quality_score,
+    salted_join,
+    simhash_near_dup,
+    token_count,
+)
+from tests.conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def neardup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "yet another unrelated document mentioning knowledge graphs"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = neardup_docs(spark)
+    out = exact_dedup(df, ["text"])
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert ids == {1, 3, 4, 5}
+
+
+def test_minhash_near_dup(spark):
+    df = neardup_docs(spark)
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           minhash_near_dup(df, num_hashes=64, bands=16, jaccard_threshold=0.5).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4 and out[5] == 5
+
+
+def test_simhash_near_dup(spark):
+    df = neardup_docs(spark)
+    out = {r["doc_id"]: r["cluster_id"] for r in simhash_near_dup(df).collect()}
+    assert out[1] == out[2] == 1  # identical text → identical simhash
+    assert out[4] != out[1] or out[4] == 4
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = neardup_docs(spark)
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    pairs = {(r["u"], r["v"]): r["jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert (1, 4) not in pairs
+
+
+def test_dedup_runs_on_real_documents(docs):
+    out = minhash_near_dup(docs, jaccard_threshold=0.9)
+    assert out.count() == docs.count()  # total assignment
+
+
+def test_brute_force_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = brute_force_topk(emb, list(q), k=5).collect()
+    assert out[0]["vec_id"] == 0 and abs(out[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_overlaps_exact(spark, emb):
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_bucketed_topk(emb, q, k=10, bits=5, probe_hamming=2).collect()
+    }
+    assert 0 in approx
+    assert len(exact & approx) >= 3  # approximate, but not garbage
+
+
+def test_cosine_pairs_finds_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["u"], r["v"]) for r in cosine_pairs(df, threshold=0.99, bits=4).collect()}
+    assert (1, 2) in out and (1, 3) not in out
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar baz quux longer"), (2, ""), (3, "a, b, c, d!!! ..,;;;")],
+        "doc_id long, text string",
+    )
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    assert tc == {1: 7, 2: 0, 3: 5}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[1] > q[3]  # punctuation soup scores worse
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, "hub"), (2, "hub"), (3, "rare")], "id long, k string"
+    )
+    right = spark.createDataFrame([("hub", "H"), ("rare", "R")], "k string, v string")
+    got = {(r["id"], r["v"]) for r in salted_join(left, right, "k", salt_buckets=4).collect()}
+    expect = {(r["id"], r["v"]) for r in left.join(right, "k").collect()}
+    assert got == expect
+
+
+def test_multimodal_stub(docs):
+    with_payload = attach_binary_payload(docs.limit(20))
+    assert "payload" in with_payload.columns
+    feats = extract_features_stub(with_payload).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["histogram"]) == 16
+        assert sum(r["histogram"]) == r["n_bytes"]
+
+
+def test_decode_stub_raises():
+    from kgtk_spark.textops.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"x")
