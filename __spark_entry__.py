@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``  — flagship query on /root/testdata/sf0.001
+- ``queries()``     — one entry per implemented operator (SURVEY.md §2)
+- ``oracle_sql()``  — DuckDB-runnable ANSI-SQL twin per query
+
+The catalog lives in kgtk_spark.queries; this module stays thin.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive a KGTK edge file from the sf0.001 tables, run
+    filter → compact → add-id (the Phase-1 end-to-end slice of
+    SURVEY.md §7), and attach per-subject degree statistics."""
+    from kgtk_spark.operators import add_id, kgtk_compact, kgtk_filter
+    from kgtk_spark.queries import tpch_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = tpch_edges(spark, sf_dir)
+    filtered = kgtk_filter(edges, ";placed,contains;")
+    compacted = kgtk_compact(filtered, keys=["node1", "label"])
+    return add_id(compacted, style="node1-label-num")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgtk_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgtk_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,135 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default local[32]),
+plus the KG-construction pipeline on deterministic synthetic web pages
+sized to the scale factor. The headline metric is pipeline throughput
+(triples emitted / second), per BASELINE.json.
+
+Query plans execute fully via the noop sink (no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "kgtk_filter",
+    "kgtk_ifexists",
+    "kgtk_join_inner",
+    "kgtk_compact",
+    "kgtk_unique",
+    "kgtk_add_id",
+    "kgtk_lift",
+    "graph_degrees",
+    "graph_connected_components",
+    "graph_pagerank",
+    "doc_exact_dedup",
+    "doc_minhash_clusters",
+    "doc_language_id",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "events_daily",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    from kgtk_spark.session import get_spark
+    from kgtk_spark.queries import QUERIES
+
+    spark = get_spark(
+        app_name="kgtk_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- KG-construction pipeline on synthetic web pages -------------------
+    from kgtk_spark.pipeline import (
+        alias_dictionary_df,
+        expected_edges_df,
+        generate_pages_df,
+        run_pipeline,
+        triple_precision_recall,
+    )
+
+    n_pages = max(200, int(20000 * sf))       # sf0.1 → 2000 pages
+    n_entities = max(100, int(5000 * sf))     # sf0.1 → 500 entities
+    pages, world = generate_pages_df(
+        spark, n_pages=n_pages, n_entities=n_entities, seed=42, partitions=cpus
+    )
+    pages = pages.cache()
+    pages.count()  # generator cost excluded from pipeline timing
+    ad = alias_dictionary_df(spark, world)
+
+    out_dir = tempfile.mkdtemp(prefix="kgtk_bench_")
+    try:
+        t0 = time.time()
+        edges = run_pipeline(
+            spark, pages, ad, out_dir, n_buckets=cpus, resume=False,
+            input_fingerprint=f"bench-{sf}",
+        )
+        n_edges = edges.count()
+        pipe_sec = time.time() - t0
+        p, r = triple_precision_recall(edges, expected_edges_df(spark, world))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    timings["kg_pipeline"] = round(pipe_sec, 3)
+    triples_per_sec = n_edges / pipe_sec if pipe_sec > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_triples_per_sec",
+                "value": round(triples_per_sec, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "detail": {
+                    "pipeline_pages": n_pages,
+                    "pipeline_edges": n_edges,
+                    "pipeline_seconds": round(pipe_sec, 3),
+                    "triple_precision": round(p, 4),
+                    "triple_recall": round(r, 4),
+                    "cpus": cpus,
+                    "total_query_seconds": round(sum(timings.values()), 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,462 @@
+"""Driver-contract query catalog.
+
+Each entry pairs a Spark implementation (an operator from this engine
+applied to data derived from the driver's parquet tables) with an exact
+ANSI-SQL oracle that DuckDB runs on the same tables. The derivation of
+a KGTK edge file from the TPC-H-ish tables is identical on both sides
+(EDGES_CTE below), so every oracle checks the OPERATOR's semantics.
+
+Naming parity rules (the driver hash-compares by sorted column name):
+- every computed column is aliased identically in Spark and SQL;
+- counts are BIGINT on both sides; ratios are ROUND(x, 6) doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgtk_spark.operators import (
+    add_id,
+    if_exists,
+    if_not_exists,
+    kgtk_calc,
+    kgtk_cat,
+    kgtk_compact,
+    kgtk_filter,
+    kgtk_join,
+    kgtk_lift,
+    kgtk_unique,
+    normalize_nodes,
+)
+from kgtk_spark.graph import connected_components, degrees, pagerank, reachable_nodes
+from kgtk_spark.textops import (
+    brute_force_topk,
+    doc_fingerprint,
+    exact_dedup,
+    language_id,
+    minhash_near_dup,
+    quality_score,
+    simhash_signatures,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+# Shared edge derivation (identical in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+EDGES_CTE = """
+edges AS (
+  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS node1, 'in_nation' AS label,
+         'N' || CAST(c_nationkey AS VARCHAR) AS node2 FROM customer
+  UNION ALL
+  SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+         'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'C' || CAST(o_custkey AS VARCHAR), 'placed',
+         'O' || CAST(o_orderkey AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'O' || CAST(l_orderkey AS VARCHAR), 'contains',
+         'P' || CAST(l_partkey AS VARCHAR) FROM lineitem
+)
+"""
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of EDGES_CTE."""
+    def tag(df, prefix, key, label, prefix2, key2):
+        return df.select(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).alias("node1"),
+            F.lit(label).alias("label"),
+            F.concat(F.lit(prefix2), F.col(key2).cast("string")).alias("node2"),
+        )
+
+    c = tag(load(spark, sf_dir, "customer"), "C", "c_custkey", "in_nation", "N", "c_nationkey")
+    s = tag(load(spark, sf_dir, "supplier"), "S", "s_suppkey", "in_nation", "N", "s_nationkey")
+    n = tag(load(spark, sf_dir, "nation"), "N", "n_nationkey", "in_region", "R", "n_regionkey")
+    o = tag(load(spark, sf_dir, "orders"), "C", "o_custkey", "placed", "O", "o_orderkey")
+    l = tag(load(spark, sf_dir, "lineitem"), "O", "l_orderkey", "contains", "P", "l_partkey")
+    return c.unionByName(s).unionByName(n).unionByName(o).unionByName(l)
+
+
+# ---------------------------------------------------------------------------
+# Query + oracle catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- KGTK core operators ----------------------------------------------------
+
+@query(
+    "kgtk_filter",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "WHERE label IN ('in_nation', 'in_region')",
+)
+def q_filter(spark, sf_dir):
+    """`kgtk filter -p ';in_nation,in_region;'` (kgtk/cli/filter.py)."""
+    return kgtk_filter(tpch_edges(spark, sf_dir), ";in_nation,in_region;")
+
+
+@query(
+    "kgtk_filter_invert",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "WHERE NOT (label = 'placed')",
+)
+def q_filter_invert(spark, sf_dir):
+    return kgtk_filter(tpch_edges(spark, sf_dir), ";placed;", invert=True)
+
+
+@query(
+    "kgtk_ifexists",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "WHERE label = 'placed' AND node1 IN "
+    "(SELECT node1 FROM edges WHERE label = 'in_nation' AND node2 = 'N1')",
+)
+def q_ifexists(spark, sf_dir):
+    """`kgtk ifexists` semi-join (kgtk/iff/kgtkifexists.py)."""
+    e = tpch_edges(spark, sf_dir)
+    placed = e.filter(F.col("label") == "placed")
+    flt = e.filter((F.col("label") == "in_nation") & (F.col("node2") == "N1"))
+    return if_exists(placed, flt, input_keys=["node1"], filter_keys=["node1"])
+
+
+@query(
+    "kgtk_ifnotexists",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "WHERE label = 'placed' AND node1 NOT IN "
+    "(SELECT node1 FROM edges WHERE label = 'in_nation' AND node2 = 'N1')",
+)
+def q_ifnotexists(spark, sf_dir):
+    e = tpch_edges(spark, sf_dir)
+    placed = e.filter(F.col("label") == "placed")
+    flt = e.filter((F.col("label") == "in_nation") & (F.col("node2") == "N1"))
+    return if_not_exists(placed, flt, input_keys=["node1"], filter_keys=["node1"])
+
+
+@query(
+    "kgtk_join_inner",
+    f"WITH {EDGES_CTE}, "
+    "l AS (SELECT * FROM edges WHERE label = 'placed'), "
+    "r AS (SELECT * FROM edges WHERE label = 'in_nation'), "
+    "keys AS (SELECT node1 FROM l INTERSECT SELECT node1 FROM r) "
+    "SELECT node1, label, node2 FROM l WHERE node1 IN (SELECT node1 FROM keys) "
+    "UNION ALL "
+    "SELECT node1, label, node2 FROM r WHERE node1 IN (SELECT node1 FROM keys)",
+)
+def q_join_inner(spark, sf_dir):
+    """KGTK join = key-set-filtered UNION (kgtk/join/kgtkjoiner.py:33-36)."""
+    e = tpch_edges(spark, sf_dir)
+    return kgtk_join(
+        e.filter(F.col("label") == "placed"),
+        e.filter(F.col("label") == "in_nation"),
+        "inner",
+    )
+
+
+@query(
+    "kgtk_cat",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "WHERE label IN ('placed', 'contains')",
+)
+def q_cat(spark, sf_dir):
+    e = tpch_edges(spark, sf_dir)
+    return kgtk_cat(
+        e.filter(F.col("label") == "placed"),
+        e.filter(F.col("label") == "contains"),
+    )
+
+
+@query(
+    "kgtk_compact",
+    f"WITH {EDGES_CTE}, c AS (SELECT DISTINCT node1, label, node2 FROM edges "
+    "WHERE label = 'contains') "
+    "SELECT node1, label, string_agg(node2, '|' ORDER BY node2) AS node2 "
+    "FROM c GROUP BY node1, label",
+)
+def q_compact(spark, sf_dir):
+    """`kgtk compact` keyed (node1,label): node2 → sorted-unique | list
+    (kgtk/reshape/kgtkcompact.py:77-168)."""
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "contains")
+    return kgtk_compact(e, keys=["node1", "label"])
+
+
+@query(
+    "kgtk_unique",
+    f"WITH {EDGES_CTE} "
+    "SELECT label AS node1, 'count' AS label, CAST(COUNT(*) AS VARCHAR) AS node2 "
+    "FROM edges GROUP BY 1 ORDER BY node1",
+)
+def q_unique(spark, sf_dir):
+    """`kgtk unique` on the label column (kgtk/join/unique.py:50-154)."""
+    return kgtk_unique(tpch_edges(spark, sf_dir), "label")
+
+
+@query(
+    "kgtk_add_id",
+    f"WITH {EDGES_CTE} "
+    "SELECT node1 || '-' || label || '-' || node2 AS id, node1, label, node2 "
+    "FROM edges WHERE label = 'in_region'",
+)
+def q_add_id(spark, sf_dir):
+    """content-derived id style (kgtk/reshape/kgtkidbuilder.py:20-34)."""
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    return add_id(e, style="node1-label-node2")
+
+
+@query(
+    "kgtk_lift",
+    f"WITH {EDGES_CTE}, "
+    "labels AS (SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS m, "
+    "  string_agg(DISTINCT '\"' || n_name || '\"', '|' ORDER BY '\"' || n_name || '\"') AS lifted "
+    "  FROM nation GROUP BY 1) "
+    "SELECT e.node1, e.label, e.node2, COALESCE(l.lifted, '') AS \"node1;label\" "
+    "FROM edges e LEFT JOIN labels l ON e.node1 = l.m WHERE e.label = 'in_region'",
+)
+def q_lift(spark, sf_dir):
+    """`kgtk lift` of nation names onto node1 (kgtk/lift/kgtklift.py)."""
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    nation = load(spark, sf_dir, "nation")
+    label_rows = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node1"),
+        F.lit("label").alias("label"),
+        F.concat(F.lit('"'), F.col("n_name"), F.lit('"')).alias("node2"),
+    )
+    return kgtk_lift(e, label_rows, columns_to_lift=["node1"])
+
+
+@query(
+    "kgtk_normalize_nodes",
+    "SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node1, 'name' AS label, n_name AS node2 FROM nation "
+    "UNION ALL "
+    "SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'region', 'R' || CAST(n_regionkey AS VARCHAR) FROM nation",
+)
+def q_normalize_nodes(spark, sf_dir):
+    """node file → edge file (kgtk/cli/normalize_nodes.py:128-158)."""
+    nation = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_name").alias("name"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("region"),
+    )
+    return normalize_nodes(nation)
+
+
+@query(
+    "kgtk_calc_percentage",
+    "SELECT l_orderkey, l_linenumber, "
+    "printf('%5.2f', l_quantity * 100.0 / l_extendedprice) AS pct FROM lineitem",
+)
+def q_calc(spark, sf_dir):
+    """`kgtk calc percentage` (kgtk/cli/calc.py:244-249)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    out = kgtk_calc(li, "percentage", ["l_quantity", "l_extendedprice"], into="pct")
+    return out.select("l_orderkey", "l_linenumber", "pct")
+
+
+# --- graph operators ---------------------------------------------------------
+
+@query(
+    "graph_degrees",
+    f"WITH {EDGES_CTE}, e AS (SELECT node1, node2 FROM edges WHERE label = 'contains'), "
+    "o AS (SELECT node1 AS node, COUNT(*) AS vertex_out_degree FROM e GROUP BY 1), "
+    "i AS (SELECT node2 AS node, COUNT(*) AS vertex_in_degree FROM e GROUP BY 1) "
+    "SELECT COALESCE(o.node, i.node) AS node, "
+    "COALESCE(vertex_in_degree, 0) AS vertex_in_degree, "
+    "COALESCE(vertex_out_degree, 0) AS vertex_out_degree, "
+    "COALESCE(vertex_in_degree, 0) + COALESCE(vertex_out_degree, 0) AS vertex_degree "
+    "FROM o FULL OUTER JOIN i ON o.node = i.node",
+)
+def q_degrees(spark, sf_dir):
+    """degrees (kgtk/cli/graph_statistics.py:118-125)."""
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "contains")
+    return degrees(e)
+
+
+@query(
+    "graph_connected_components",
+    f"WITH RECURSIVE {EDGES_CTE}, "
+    "e AS (SELECT node1, node2 FROM edges WHERE label = 'in_region'), "
+    "und AS (SELECT node1 AS u, node2 AS v FROM e UNION SELECT node2, node1 FROM e), "
+    "reach(src, dst) AS ("
+    "  SELECT u, u FROM und UNION SELECT v, v FROM und "
+    "  UNION SELECT r.src, und.v FROM reach r JOIN und ON r.dst = und.u) "
+    "SELECT src AS node1, 'connected_component' AS label, MIN(dst) AS node2 "
+    "FROM reach GROUP BY src",
+)
+def q_connected_components(spark, sf_dir):
+    """weak CC over the nation→region star graph
+    (kgtk/gt/connected_components.py; 5 components expected)."""
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    return connected_components(e)
+
+
+@query(
+    "graph_reachable",
+    f"WITH RECURSIVE {EDGES_CTE}, "
+    "e AS (SELECT node1, node2 FROM edges WHERE label IN ('placed', 'contains')), "
+    "reach(node) AS ("
+    "  SELECT node2 FROM e WHERE node1 = 'C1' "
+    "  UNION SELECT e.node2 FROM reach r JOIN e ON r.node = e.node1) "
+    "SELECT 'C1' AS node1, 'reachable' AS label, node AS node2 FROM reach",
+)
+def q_reachable(spark, sf_dir):
+    """`kgtk reachable-nodes` from customer C1 through its orders to parts
+    (kgtk/cli/reachable_nodes.py:32-110)."""
+    e = tpch_edges(spark, sf_dir).filter(F.col("label").isin(["placed", "contains"]))
+    return reachable_nodes(e, ["C1"])
+
+
+@query("graph_pagerank")  # iterative float fixpoint — no SQL oracle (rows-only)
+def q_pagerank(spark, sf_dir):
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    pr = pagerank(e, max_iterations=15)
+    return pr.select("node", F.round("vertex_pagerank", 6).alias("vertex_pagerank"))
+
+
+# --- training-data ops over documents/embeddings ------------------------------
+
+@query(
+    "doc_exact_dedup",
+    "SELECT d.doc_id, d.n_chars FROM documents d "
+    "JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) k "
+    "ON d.text = k.text AND d.doc_id = k.doc_id",
+)
+def q_exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"]).select("doc_id", "n_chars")
+
+
+@query(
+    "doc_token_count",
+    "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+    "FROM documents",
+)
+def q_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+@query(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint "
+    "FROM documents",
+)
+def q_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _langid_oracle() -> str:
+    from kgtk_spark.textops.quality import LANG_MARKERS
+
+    def cnt(needle: str) -> str:
+        return (
+            f"(length(p) - length(replace(p, '{needle}', ''))) / {len(needle)}"
+        )
+
+    score_exprs = {
+        lang: " + ".join(cnt(m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(score_exprs)  # de, en, es, fr
+    case = f"CASE WHEN GREATEST({', '.join('s_' + l for l in langs)}) <= 0 THEN 'und' "
+    for i, lang in enumerate(langs):
+        rest = ["s_" + l for l in langs[i + 1 :]]
+        if rest:
+            case += f"WHEN s_{lang} >= GREATEST({', '.join(rest)}) THEN '{lang}' "
+        else:
+            case += f"ELSE '{lang}' "
+    case += "END"
+    scores_sql = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in sorted(score_exprs.items()))
+    return (
+        "WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents), "
+        f"scored AS (SELECT doc_id, {scores_sql} FROM padded) "
+        f"SELECT doc_id, {case} AS lang_pred FROM scored"
+    )
+
+
+@query("doc_language_id", _langid_oracle())
+def q_language_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+@query(
+    "doc_quality",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, "
+    "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS word_count "
+    "FROM documents",
+)
+def q_quality(spark, sf_dir):
+    """Quality feature columns (integer features only in the oracle —
+    the float penalties are covered by unit tests)."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id",
+        F.col("n_chars_q").cast("long").alias("n_chars_q"),
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score "
+    "FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT 10",
+)
+def q_ann_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@query("doc_simhash")  # FNV/bit loop — no SQL oracle (rows-only)
+def q_simhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@query("doc_minhash_clusters")  # LSH banding — no SQL oracle (rows-only)
+def q_minhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_dup(docs, jaccard_threshold=0.8)
+
+
+# --- events (batch window aggregation) ----------------------------------------
+
+@query(
+    "events_daily",
+    "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "
+    "FROM events GROUP BY 1, 2",
+)
+def q_events_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
