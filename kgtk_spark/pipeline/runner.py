@@ -122,7 +122,7 @@ def run_pipeline(
     fp_triples = _fp("extract_triples", fp_linked)
     triples = _run_stage(
         spark, manifest, committed, out_dir, "triples", fp_triples,
-        lambda: S.extract_triples(text_df, linked), resume,
+        lambda: S.extract_triples(text_df, alias_dict), resume,
     )
 
     fp_canon = _fp("canonicalize", fp_triples)
@@ -137,6 +137,38 @@ def run_pipeline(
         lambda: S.materialize(canon, n_buckets=n_buckets), resume,
     )
     return edges
+
+
+def run_pipeline_fused(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Single-lineage variant: all six stages fused into one Catalyst plan
+    with no intermediate parquet or manifest.
+
+    This is the throughput configuration for benchmarking and for
+    inputs small enough to not need mid-pipeline restart points; the
+    manifest-materializing ``run_pipeline`` is the resumable production
+    mode. Identical results by construction — both call the same stage
+    functions.
+    """
+    # text is consumed by both the mention pass and the triple pass;
+    # persist() keeps it as compressed COLUMNAR blocks (GC-friendly at
+    # high thread counts — localCheckpoint's deserialized row storage
+    # causes GCLocker thrash with 32 executor threads + Arrow JNI).
+    text_df = S.extract_text(pages).persist()
+    text_df.count()
+    # mention detection + linking are pipeline deliverables (provenance
+    # spans); force them so the fused benchmark includes their cost.
+    linked = S.link_entities(S.detect_mentions(text_df, alias_dict), alias_dict)
+    linked.count()
+    # triples consumed twice by canonicalize (sameAs split + rewrite).
+    triples = S.extract_triples(text_df, alias_dict).persist()
+    triples.count()
+    canon = S.canonicalize(triples)
+    return S.materialize(canon, n_buckets=n_buckets)
 
 
 def triple_precision_recall(

@@ -120,14 +120,36 @@ def detect_mentions(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
 # Stage 3 — entity linking (broadcast map-side scoring)
 # ---------------------------------------------------------------------------
 
-def link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+def best_alias_map(alias_dict: DataFrame) -> DataFrame:
+    """(surface, entity, score): the argmax-prior sense per alias,
+    deterministic tie-break on entity id. Tiny — always broadcast."""
+    return (
+        alias_dict.groupBy(F.col("alias").alias("surface"))
+        .agg(
+            F.expr("min_by(entity, struct(-prior, entity))").alias("entity"),
+            F.max("prior").alias("score"),
+        )
+    )
+
+
+def link_entities(
+    mentions: DataFrame, alias_dict: DataFrame, context_scoring: bool = False
+) -> DataFrame:
     """Resolve each mention to its best-prior entity.
 
-    Candidate generation is a broadcast join (map-side; hub aliases with
-    millions of mentions never shuffle). Scoring = alias prior; argmax
-    per mention via max_by inside the per-url aggregation — no window,
-    no extra shuffle beyond the single groupBy.
+    Default path is ZERO-shuffle: the argmax over candidate senses is
+    precomputed per alias (best_alias_map, driver-side tiny agg) and the
+    mentions stream takes one broadcast hash join — map-side scoring,
+    immune to hub-alias skew, scales linearly with cores.
+
+    ``context_scoring=True`` keeps the candidate-expansion + per-mention
+    aggregation path (one shuffle on the mention key) for scorers that
+    need page context; with prior-only scoring both paths are identical.
     """
+    if not context_scoring:
+        return mentions.join(F.broadcast(best_alias_map(alias_dict)), "surface").select(
+            "url", "begin", "end", "surface", "entity", "score"
+        )
     cand = mentions.join(F.broadcast(alias_dict), mentions["surface"] == alias_dict["alias"])
     return (
         cand.groupBy("url", "begin", "end", "surface")
@@ -182,32 +204,20 @@ def raw_triples(pages: DataFrame) -> DataFrame:
     return pages.select("url", "text").mapInPandas(run, schema=TRIPLE_SCHEMA)
 
 
-def extract_triples(pages: DataFrame, linked: DataFrame) -> DataFrame:
-    """Join SVO surface forms against the page's linked mentions.
+def extract_triples(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Resolve SVO surface forms to entities — two broadcast joins.
 
-    Surface → entity is resolved per url (distinct (url, surface, entity)
-    from linking), so a homonym can resolve differently on different
-    pages. Both joins key on (url, surface) — uniform by construction.
+    Subject and object surfaces each take one broadcast hash join
+    against the best-sense alias map (same map linking used): the whole
+    extraction path from raw text to entity triples has NO shuffle.
     """
-    surf = (
-        linked.select("url", "surface", "entity", "score")
-        .groupBy("url", "surface")
-        .agg(F.expr("max_by(entity, score)").alias("entity"))
-    )
+    best = F.broadcast(best_alias_map(alias_dict))
     t = raw_triples(pages)
-    s = surf.select(
-        F.col("url").alias("u1"),
-        F.col("surface").alias("ss"),
-        F.col("entity").alias("subj"),
-    )
-    o = surf.select(
-        F.col("url").alias("u2"),
-        F.col("surface").alias("os"),
-        F.col("entity").alias("obj"),
-    )
+    s = best.select(F.col("surface").alias("ss"), F.col("entity").alias("subj"))
+    o = best.select(F.col("surface").alias("os"), F.col("entity").alias("obj"))
     return (
-        t.join(s, (t["url"] == s["u1"]) & (t["subj_surface"] == s["ss"]))
-        .join(o, (t["url"] == o["u2"]) & (t["obj_surface"] == o["os"]))
+        t.join(s, t["subj_surface"] == s["ss"])
+        .join(o, t["obj_surface"] == o["os"])
         .select(
             "url",
             F.col("subj").alias("node1"),

@@ -206,6 +206,103 @@ def generate_pages_df(
     return df, w
 
 
+def _gen_page_indexed(
+    world: World,
+    dups_of: dict[str, list[str]],
+    seed: int,
+    i: int,
+    facts_per_page: tuple[int, int] = (3, 10),
+    html_fraction: float = 0.3,
+) -> tuple:
+    """One page from (world, seed, page-index) alone — executor-safe.
+
+    Unlike generate_page_rows (sequential driver RNG), each page gets an
+    independent RNG keyed by index, so generation parallelizes over any
+    partitioning and any cluster size with identical output.
+    Returns (url, warc_ts, html, text, lang, planted_facts).
+    """
+    rng = random.Random(f"{seed}:{i}")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    url = f"https://example.org/{seed}/{i}"
+    ts = t0 + dt.timedelta(seconds=i * 37)
+    sentences: list[str] = []
+    planted: list[str] = []
+    k = rng.randint(*facts_per_page)
+    for _ in range(k):
+        s, p, o = world.facts[rng.randrange(len(world.facts))]
+        planted.append(f"{s}\x1f{p}\x1f{o}")
+        s_id = s
+        dups = dups_of.get(s)
+        if dups and rng.random() < 0.3:
+            s_id = dups[0]
+        s_alias = rng.choice(world.aliases[s_id])
+        o_alias = rng.choice(world.aliases[o])
+        sentences.append(f"{s_alias} {_phrase_for(p)} {o_alias} .")
+        if rng.random() < 0.25:
+            sentences.append(rng.choice(_FILLER) + " .")
+    if world.same_as and rng.random() < 0.4:
+        d, c = world.same_as[rng.randrange(len(world.same_as))]
+        sentences.append(f"{world.aliases[d][0]} {SAME_AS_PHRASE} {world.aliases[c][0]} .")
+    text = "\n".join(sentences)
+    has_html = rng.random() < html_fraction
+    html = html_of_text(text, f"page {i}") if has_html else None
+    return (url, ts, html, None if has_html else text, "en", planted)
+
+
+def generate_pages_distributed(
+    spark: SparkSession,
+    n_pages: int,
+    n_entities: int = 2000,
+    seed: int = 42,
+    partitions: int = 64,
+    facts_per_page: tuple[int, int] = (3, 10),
+) -> tuple[DataFrame, DataFrame, World]:
+    """Executor-side page synthesis for large benchmark inputs.
+
+    The World (entities/aliases/facts) is built on the driver and
+    broadcast; pages materialize in parallel from their index. Returns
+    (pages_df, expected_edges_df, world) — expected edges are the
+    distinct planted facts, computed distributedly.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    w = generate_world(n_entities=n_entities, seed=seed)
+    dups_of: dict[str, list[str]] = {}
+    for d, c in w.dup_of.items():
+        dups_of.setdefault(c, []).append(d)
+    bc = spark.sparkContext.broadcast((w, dups_of))
+
+    full_schema = T.StructType(
+        PAGES_SCHEMA.fields + [T.StructField("planted", T.ArrayType(T.StringType()))]
+    )
+
+    def gen(batches):
+        world, dups = bc.value
+        for pdf in batches:
+            rows = [
+                _gen_page_indexed(world, dups, seed, int(i), facts_per_page)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang", "planted"]
+            )
+
+    base = spark.range(n_pages).repartition(partitions)
+    full = base.mapInPandas(gen, schema=full_schema)
+    pages = full.drop("planted")
+    expected = (
+        full.select(F.explode("planted").alias("f"))
+        .select(
+            F.split_part("f", F.lit("\x1f"), F.lit(1)).alias("node1"),
+            F.split_part("f", F.lit("\x1f"), F.lit(2)).alias("label"),
+            F.split_part("f", F.lit("\x1f"), F.lit(3)).alias("node2"),
+        )
+        .dropDuplicates()
+    )
+    return pages, expected, w
+
+
 def alias_dictionary_df(spark: SparkSession, world: World) -> DataFrame:
     """(alias, entity, prior) — the broadcast dictionary for mention
     detection and linking. Prior splits mass across homonym senses."""

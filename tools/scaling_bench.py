@@ -1,0 +1,116 @@
+"""Scaling-efficiency benchmark: identical job + input at N and 4N cores.
+
+Evidence for the north_rule's two-cluster-size criterion in a sandbox
+with no real cluster: the SAME spark-submit job runs at local[8] and
+local[32] over the SAME pre-generated pages parquet; we report
+triples/sec at both and scaling efficiency
+    eff = (throughput_4N / throughput_N) / 4.
+
+Usage: python tools/scaling_bench.py [n_pages] [n_entities]
+Appends results to BENCH/BASELINE.md and prints a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_pyfiles_zip(dest: Path) -> Path:
+    """Package kgtk_spark for --py-files (the spark-submit deployment unit)."""
+    zpath = dest / "kgtk_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in (REPO / "kgtk_spark").rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    return zpath
+
+
+def prepare_input(input_dir: Path, n_pages: int, n_entities: int) -> None:
+    """Distributed, seeded page synthesis — same bytes at any parallelism."""
+    from kgtk_spark.pipeline import alias_dictionary_df
+    from kgtk_spark.pipeline.webgen import generate_pages_distributed
+    from kgtk_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_prepare", master="local[32]", shuffle_partitions=32)
+    pages, expected, world = generate_pages_distributed(
+        spark, n_pages=n_pages, n_entities=n_entities, seed=42, partitions=64
+    )
+    pages.write.mode("overwrite").parquet(str(input_dir / "pages"))
+    expected.write.mode("overwrite").parquet(str(input_dir / "expected"))
+    alias_dictionary_df(spark, world).write.mode("overwrite").parquet(
+        str(input_dir / "alias_dict")
+    )
+    spark.stop()
+
+
+def spark_submit(cpus: int, input_dir: Path, zpath: Path) -> dict:
+    import pyspark
+
+    submit = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    cmd = [
+        str(submit),
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "8g",
+        "--py-files", str(zpath),
+        str(REPO / "tools" / "scaling_job.py"),
+        str(input_dir), str(cpus),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "triples_per_sec" in line:
+            return json.loads(line)
+    raise RuntimeError(f"no result line from spark-submit:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+
+    work = Path(tempfile.mkdtemp(prefix="kgtk_scaling_"))
+    try:
+        input_dir = work / "input"
+        prepare_input(input_dir, n_pages, n_entities)
+        zpath = build_pyfiles_zip(work)
+
+        r8 = spark_submit(8, input_dir, zpath)
+        r32 = spark_submit(32, input_dir, zpath)
+
+        eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (32 / 8)
+        result = {
+            "n_pages": n_pages,
+            "n_entities": n_entities,
+            "local8": r8,
+            "local32": r32,
+            "scaling_efficiency": round(eff, 3),
+            "target": 0.8,
+            "meets_target": eff >= 0.8,
+        }
+        print(json.dumps(result))
+
+        bench_dir = REPO / "BENCH"
+        bench_dir.mkdir(exist_ok=True)
+        with open(bench_dir / "BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Scaling run: {n_pages} pages, {n_entities} entities\n\n"
+                f"| parallelism | seconds | triples/sec |\n|---|---|---|\n"
+                f"| local[8] | {r8['seconds']} | {r8['triples_per_sec']} |\n"
+                f"| local[32] | {r32['seconds']} | {r32['triples_per_sec']} |\n\n"
+                f"Scaling efficiency (throughput ratio / core ratio): "
+                f"**{eff:.3f}** (target ≥ 0.8: {'MET' if eff >= 0.8 else 'NOT MET'})\n"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""spark-submit job for the scaling benchmark.
+
+Runs the fused KG-construction pipeline over a pre-generated pages
+parquet (identical input at every parallelism level) and prints one
+JSON line {cpus, pages, edges, seconds, triples_per_sec}.
+
+Usage (via spark-submit, see tools/scaling_bench.py):
+  spark-submit --master local[N] --py-files kgtk_spark.zip \
+      tools/scaling_job.py <input_dir> <cpus>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    input_dir = sys.argv[1]
+    cpus = int(sys.argv[2])
+
+    spark = (
+        SparkSession.builder.appName(f"kgtk_scaling_{cpus}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kgtk_spark.pipeline.runner import run_pipeline_fused
+
+    pages = spark.read.parquet(f"{input_dir}/pages").repartition(cpus * 2, "url")
+    alias_dict = spark.read.parquet(f"{input_dir}/alias_dict")
+    n_pages = pages.cache().count()  # input load excluded from timing
+
+    t0 = time.time()
+    edges = run_pipeline_fused(spark, pages, alias_dict, n_buckets=max(cpus, 8))
+    n_edges = edges.count()
+    sec = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "pages": n_pages,
+                "edges": n_edges,
+                "seconds": round(sec, 3),
+                "triples_per_sec": round(n_edges / sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
