@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the 100 TB checklist as assertions.
+
+These parse .explain("formatted") output: filters must reach the parquet
+scan (PushedFilters), column pruning must shrink ReadSchema, small maps
+must broadcast, and operator hot paths must stay inside WholeStageCodegen
+with no row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.operators import kgtk_filter, kgtk_lift, if_exists
+from tests.conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def parquet_edges(spark, tmp_path_factory):
+    """An edge file persisted as parquet so pushdown is observable."""
+    path = str(tmp_path_factory.mktemp("edges") / "edges.parquet")
+    spark.createDataFrame(
+        [(f"Q{i}", "P31" if i % 3 else "P279", f"Q{i*7%50}", "") for i in range(1000)],
+        ["node1", "label", "node2", "id"],
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_filter_pushdown_to_scan(parquet_edges):
+    plan = plan_of(kgtk_filter(parquet_edges, ";P31;"))
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,P31)" in plan or \
+           "PushedFilters: [IsNotNull(label), EqualTo(label, P31)" in plan, plan
+
+
+def test_column_pruning(parquet_edges):
+    # projecting two columns must not read all four
+    plan = plan_of(kgtk_filter(parquet_edges, ";P31;").select("node1", "node2"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "id" not in read[0], read
+
+
+def test_lift_broadcasts_label_map(spark, parquet_edges):
+    labels = spark.createDataFrame(
+        [(f"Q{i}", "label", f'"name{i}"') for i in range(50)],
+        ["node1", "label", "node2"],
+    )
+    plan = plan_of(kgtk_lift(parquet_edges, labels, columns_to_lift=["node1"]))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ifexists_no_python_in_plan(spark, parquet_edges):
+    keys = spark.createDataFrame([("Q1",), ("Q2",)], ["node1"])
+    plan = plan_of(if_exists(parquet_edges, keys, ["node1"], ["node1"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "LeftSemi" in plan  # semi-join, not a row-expanding join
+
+
+def test_linking_is_broadcast_and_shuffle_free(spark):
+    from kgtk_spark.pipeline.stages import link_entities
+
+    mentions = spark.createDataFrame(
+        [("u", 0, 3, "foo")], ["url", "begin", "end", "surface"]
+    )
+    ad = spark.createDataFrame(
+        [("foo", "Q1", 1.0)], ["alias", "entity", "prior"]
+    )
+    plan = plan_of(link_entities(mentions, ad))
+    assert "BroadcastHashJoin" in plan, plan
+    # the mention stream itself must not shuffle (only the tiny dict agg may)
+    stream_section = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning(url" not in plan, plan
