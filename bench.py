@@ -76,35 +76,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # --- KG-construction pipeline on synthetic web pages -------------------
-    from kgtk_spark.pipeline import (
-        alias_dictionary_df,
-        expected_edges_df,
-        generate_pages_df,
-        run_pipeline,
-        triple_precision_recall,
-    )
+    from kgtk_spark.pipeline import alias_dictionary_df, triple_precision_recall
+    from kgtk_spark.pipeline.runner import run_pipeline_fused
+    from kgtk_spark.pipeline.webgen import generate_pages_distributed
 
-    n_pages = max(200, int(20000 * sf))       # sf0.1 → 2000 pages
-    n_entities = max(100, int(5000 * sf))     # sf0.1 → 500 entities
-    pages, world = generate_pages_df(
-        spark, n_pages=n_pages, n_entities=n_entities, seed=42, partitions=cpus
+    n_pages = max(500, int(500000 * sf))      # sf0.1 → 50,000 pages
+    n_entities = max(100, int(20000 * sf))    # sf0.1 → 2,000 entities
+    pages, expected, world = generate_pages_distributed(
+        spark, n_pages=n_pages, n_entities=n_entities, seed=42, partitions=cpus * 2
     )
-    pages = pages.cache()
+    pages = pages.persist()
     pages.count()  # generator cost excluded from pipeline timing
+    expected = expected.persist()
+    expected.count()
     ad = alias_dictionary_df(spark, world)
 
-    out_dir = tempfile.mkdtemp(prefix="kgtk_bench_")
-    try:
-        t0 = time.time()
-        edges = run_pipeline(
-            spark, pages, ad, out_dir, n_buckets=cpus, resume=False,
-            input_fingerprint=f"bench-{sf}",
-        )
-        n_edges = edges.count()
-        pipe_sec = time.time() - t0
-        p, r = triple_precision_recall(edges, expected_edges_df(spark, world))
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    edges = run_pipeline_fused(spark, pages, ad, n_buckets=cpus)
+    n_edges = edges.count()
+    pipe_sec = time.time() - t0
+    p, r = triple_precision_recall(edges, expected)
 
     timings["kg_pipeline"] = round(pipe_sec, 3)
     triples_per_sec = n_edges / pipe_sec if pipe_sec > 0 else 0.0

@@ -30,6 +30,7 @@ from kgtk_spark.operators.columns import (
     kgtk_sample,
 )
 from kgtk_spark.operators.clean import kgtk_clean, kgtk_validate
+from kgtk_spark.operators.unreify import unreify_rdf_statements
 
 __all__ = [
     "kgtk_filter",
@@ -57,4 +58,5 @@ __all__ = [
     "kgtk_sample",
     "kgtk_clean",
     "kgtk_validate",
+    "unreify_rdf_statements",
 ]

@@ -1,0 +1,62 @@
+"""Streaming ingest and unreify operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.operators.unreify import unreify_rdf_statements
+from kgtk_spark.pipeline import (
+    alias_dictionary_df,
+    expected_edges_df,
+    generate_pages_df,
+    triple_precision_recall,
+)
+from kgtk_spark.streaming import stream_edges_from_pages, windowed_edge_counts
+
+
+def test_unreify_rdf_statements(spark):
+    edges = spark.createDataFrame(
+        [
+            ("St1", "rdf:type", "rdf:Statement"),
+            ("St1", "rdf:subject", "Q1"),
+            ("St1", "rdf:predicate", "P31"),
+            ("St1", "rdf:object", "Q5"),
+            ("St1", "P585", "^2020"),          # qualifier on the statement
+            ("Q7", "P31", "Q5"),               # untouched direct edge
+        ],
+        ["node1", "label", "node2"],
+    )
+    out = unreify_rdf_statements(edges).collect()
+    rows = {(r["node1"], r["label"], r["node2"]) for r in out}
+    assert ("Q1", "P31", "Q5") in rows            # collapsed direct edge
+    assert ("Q1-P31-Q5", "P585", "^2020") in rows  # qualifier re-anchored
+    assert ("Q7", "P31", "Q5") in rows             # passthrough
+    assert not any(r["node1"] == "St1" for r in out)  # reification gone
+    assert len(rows) == 3
+
+
+def test_streaming_edges_match_batch(spark, tmp_path):
+    pages, world = generate_pages_df(spark, n_pages=60, n_entities=25, seed=21)
+    pages_dir = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(pages_dir)
+    ad = alias_dictionary_df(spark, world)
+
+    out_dir = str(tmp_path / "edges")
+    q = stream_edges_from_pages(
+        spark, pages_dir, ad, out_dir, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    p, r = triple_precision_recall(got, expected_edges_df(spark, world))
+    assert p >= 0.95 and r >= 0.95
+
+
+def test_windowed_counts_schema(spark, tmp_path):
+    # run the windowed agg on a static frame (same plan, batch-executed)
+    pages, _ = generate_pages_df(spark, n_pages=50, n_entities=20, seed=9)
+    out = windowed_edge_counts(pages, window="30 minutes")
+    rows = out.collect()
+    assert out.columns == ["window_start", "window_end", "lang", "n_pages"]
+    assert sum(r["n_pages"] for r in rows) == 50
