@@ -78,3 +78,64 @@ def unreify_rdf_statements(
     )
 
     return direct_edges.unionByName(qualifiers).unionByName(rest)
+
+
+def unreify_values(
+    edges: DataFrame,
+    trigger_label: str,
+    trigger_node2: str,
+    value_label: str,
+) -> DataFrame:
+    """`kgtk unreify-values` (kgtk/unreify/kgtkunreifyvalues.py, 537 LoC).
+
+    Same collapse pattern with configurable trigger: nodes whose
+    ``trigger_label = trigger_node2`` are value-reification nodes; the
+    edge pointing at them is rewired to the node's ``value_label``
+    value, other edges on the node become qualifiers on the new edge.
+    """
+    value_nodes = (
+        edges.filter(
+            (F.col("label") == trigger_label) & (F.col("node2") == trigger_node2)
+        )
+        .select(F.col("node1").alias("vnode"))
+        .distinct()
+    )
+    values = (
+        edges.filter(F.col("label") == value_label)
+        .join(F.broadcast(value_nodes), edges["node1"] == value_nodes["vnode"], "left_semi")
+        .select(F.col("node1").alias("vnode"), F.col("node2").alias("value"))
+    )
+
+    # Edges POINTING AT a value node get node2 rewritten to the value;
+    # keep the vnode so qualifiers can find their new anchor id.
+    incoming = edges.join(
+        F.broadcast(values), edges["node2"] == values["vnode"], "inner"
+    ).select(
+        "node1",
+        "label",
+        F.col("value").alias("node2"),
+        F.concat_ws("-", "node1", "label", "value").alias("id"),
+        "vnode",
+    )
+    anchor = incoming.select("vnode", F.col("id").alias("anchor_id")).dropDuplicates(["vnode"])
+
+    # Other edges ON the value node become qualifiers of the new edge.
+    qualifiers = (
+        edges.filter(~F.col("label").isin([trigger_label, value_label]))
+        .join(F.broadcast(anchor), edges["node1"] == anchor["vnode"], "inner")
+        .select(
+            F.col("anchor_id").alias("node1"),
+            "label",
+            "node2",
+            F.concat_ws("-", "anchor_id", "label").alias("id"),
+        )
+    )
+
+    vset = values.select("vnode")
+    rest = (
+        edges.join(F.broadcast(vset), edges["node1"] == vset["vnode"], "left_anti")
+        .join(F.broadcast(vset), F.col("node2") == vset["vnode"], "left_anti")
+        .select("node1", "label", "node2")
+        .withColumn("id", F.lit(""))
+    )
+    return incoming.drop("vnode").unionByName(qualifiers).unionByName(rest)

@@ -1,0 +1,102 @@
+"""Tests for the coverage-closing operators: unreify-values,
+validate-properties, text-embedding (stub), wikidata export."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.graph.embedding import build_sentences, text_embedding
+from kgtk_spark.operators.unreify import unreify_values
+from kgtk_spark.operators.validate_properties import PropertyPattern, validate_properties
+from kgtk_spark.sources.wikidata_export import export_wikidata_json
+
+
+def test_unreify_values(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P39", "V1"),                # edge pointing at value node
+            ("V1", "rdf:type", "wikibase:TimeValue"),
+            ("V1", "value", "^1999"),
+            ("V1", "P585", "^2000"),            # qualifier on the value node
+            ("Q2", "P31", "Q5"),                # untouched
+        ],
+        ["node1", "label", "node2"],
+    )
+    out = unreify_values(
+        edges, trigger_label="rdf:type", trigger_node2="wikibase:TimeValue",
+        value_label="value",
+    ).collect()
+    rows = {(r["node1"], r["label"], r["node2"]) for r in out}
+    assert ("Q1", "P39", "^1999") in rows
+    assert ("Q1-P39-^1999", "P585", "^2000") in rows
+    assert ("Q2", "P31", "Q5") in rows
+    assert not any(r["node1"] == "V1" or r["node2"] == "V1" for r in out)
+    assert len(rows) == 3
+
+
+def test_validate_properties(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P2044", "8848"),      # ok: number in range
+            ("Q2", "P2044", "999999"),    # too big
+            ("Q3", "P2044", '"text"'),    # wrong type
+            ("Q4", "P31", "Q5"),          # ok: symbol
+            ("Q5", "P31", "42"),          # wrong type for P31
+            ("Q6", "other", "anything"),  # no rule → pass
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P2044", node2_type=["number", "quantity"], minval=-500, maxval=10000),
+        PropertyPattern("P31", node2_type=["symbol"]),
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q1", "Q4", "Q6"}
+    assert {r["node1"] for r in reject.collect()} == {"Q2", "Q3", "Q5"}
+
+
+def test_validate_properties_cardinality(spark):
+    edges = spark.createDataFrame(
+        [("Q1", "P18", "a.jpg"), ("Q1", "P18", "b.jpg"), ("Q2", "P18", "c.jpg")],
+        ["node1", "label", "node2"],
+    )
+    valid, reject = validate_properties(edges, [PropertyPattern("P18", maxdistinct=1)])
+    assert {r["node1"] for r in valid.collect()} == {"Q2"}
+    assert {r["node1"] for r in reject.collect()} == {"Q1"}
+
+
+def test_build_sentences_and_embedding(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "label", '"gold"'),
+            ("Q1", "description", '"chemical element"'),
+            ("Q1", "P31", "Q11344"),
+            ("Q2", "label", '"iron"'),
+        ],
+        ["node1", "label", "node2"],
+    )
+    sents = {r["node"]: r["sentence"] for r in build_sentences(edges).collect()}
+    assert sents["Q1"] == "gold, chemical element, is a Q11344"
+    assert sents["Q2"] == "iron"
+
+    emb = text_embedding(edges, dim=16).collect()
+    assert all(len(r["embedding"]) == 16 for r in emb)
+    # deterministic: same sentence → same vector
+    emb2 = {r["node"]: r["embedding"] for r in text_embedding(edges, dim=16).collect()}
+    emb1 = {r["node"]: r["embedding"] for r in emb}
+    assert emb1 == emb2
+
+
+def test_export_wikidata_json(spark):
+    edges = spark.createDataFrame(
+        [("Q1", "P31", "Q5"), ("Q1", "P31", "Q6"), ("Q1", "P18", "img")],
+        ["node1", "label", "node2"],
+    )
+    out = export_wikidata_json(edges).collect()
+    doc = json.loads(out[0]["json"])
+    assert doc["id"] == "Q1" and doc["type"] == "item"
+    assert doc["claims"]["P31"] == ["Q5", "Q6"]
+    assert doc["claims"]["P18"] == ["img"]
