@@ -273,6 +273,86 @@ def q_calc(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "pct")
 
 
+@query(
+    "kgtk_expand_roundtrip",
+    f"WITH {EDGES_CTE} SELECT DISTINCT node1, label, node2 FROM edges "
+    "WHERE label = 'contains'",
+)
+def q_expand_roundtrip(spark, sf_dir):
+    """compact → expand must reproduce the distinct edge set
+    (zip semantics of kgtk/reshape/kgtkexpand.py:95-139)."""
+    from kgtk_spark.operators import kgtk_expand
+
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "contains")
+    compacted = kgtk_compact(e, keys=["node1", "label"])
+    return kgtk_expand(compacted, key_columns=["node1", "label"])
+
+
+@query(
+    "kgtk_deduplicate",
+    f"WITH {EDGES_CTE} SELECT DISTINCT node1, label, node2 FROM edges",
+)
+def q_deduplicate(spark, sf_dir):
+    from kgtk_spark.operators import deduplicate
+
+    return deduplicate(tpch_edges(spark, sf_dir))
+
+
+@query(
+    "kgtk_lower",
+    "SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node1, 'label' AS label, "
+    "'\"' || n_name || '\"' AS node2 FROM nation ORDER BY node1, label, node2",
+)
+def q_lower(spark, sf_dir):
+    """lift then lower must re-emit the label edges
+    (kgtk/cli/lower.py:147-260)."""
+    from kgtk_spark.operators import kgtk_lower
+
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    nation = load(spark, sf_dir, "nation")
+    label_rows = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node1"),
+        F.lit("label").alias("label"),
+        F.concat(F.lit('"'), F.col("n_name"), F.lit('"')).alias("node2"),
+    )
+    lifted = kgtk_lift(e, label_rows, columns_to_lift=["node1"])
+    _, edges_out = kgtk_lower(lifted, columns_to_lower=["node1;label"])
+    return edges_out
+
+
+@query(
+    "kgtk_ifempty",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "WHERE label = 'in_region' AND CAST(substr(node1, 2) AS INT) % 2 = 1",
+)
+def q_ifempty(spark, sf_dir):
+    """ifempty on a lifted column that is empty for odd nations
+    (kgtk/iff/kgtkifempty.py)."""
+    from kgtk_spark.operators import if_empty
+
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 2 == 0)
+    label_rows = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node1"),
+        F.lit("label").alias("label"),
+        F.concat(F.lit('"'), F.col("n_name"), F.lit('"')).alias("node2"),
+    )
+    lifted = kgtk_lift(e, label_rows, columns_to_lift=["node1"])
+    return if_empty(lifted, ["node1;label"]).select("node1", "label", "node2")
+
+
+@query(
+    "kgtk_sort_head",
+    f"WITH {EDGES_CTE} SELECT node1, label, node2 FROM edges "
+    "ORDER BY node1, label, node2 LIMIT 20",
+)
+def q_sort_head(spark, sf_dir):
+    """sort + head (kgtk/cli/sort.py + reader record_limit)."""
+    from kgtk_spark.operators import kgtk_head, kgtk_sort
+
+    return kgtk_head(kgtk_sort(tpch_edges(spark, sf_dir), ["node1", "label", "node2"]), 20)
+
+
 # --- graph operators ---------------------------------------------------------
 
 @query(
@@ -331,6 +411,19 @@ def q_pagerank(spark, sf_dir):
     e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
     pr = pagerank(e, max_iterations=15)
     return pr.select("node", F.round("vertex_pagerank", 6).alias("vertex_pagerank"))
+
+
+@query("graph_hits")  # iterative float fixpoint — no SQL oracle (rows-only)
+def q_hits(spark, sf_dir):
+    from kgtk_spark.graph.stats import hits
+
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
+    h = hits(e, max_iterations=10)
+    return h.select(
+        "node",
+        F.round("vertex_hubs", 6).alias("vertex_hubs"),
+        F.round("vertex_auth", 6).alias("vertex_auth"),
+    )
 
 
 # --- training-data ops over documents/embeddings ------------------------------
@@ -430,6 +523,19 @@ def q_ann_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@query(
+    "doc_punct_ratio",
+    "SELECT doc_id, ROUND(("
+    + " + ".join(
+        f"(length(text) - length(replace(text, '{ch}', '')))" for ch in ".,;:!?"
+    )
+    + ") / length(text), 6) AS punct_ratio FROM documents WHERE length(text) > 0",
+)
+def q_punct_ratio(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return quality_score(docs).select("doc_id", "punct_ratio")
 
 
 @query("doc_simhash")  # FNV/bit loop — no SQL oracle (rows-only)
