@@ -553,6 +553,66 @@ def q_minhash(spark, sf_dir):
 # --- events (batch window aggregation) ----------------------------------------
 
 @query(
+    "events_sessionize",
+    # floor(epoch()) mirrors Spark's timestamp→long second truncation
+    "WITH s AS (SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+    "CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) "
+    "  - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) > 1800 "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s "
+    "FROM events), "
+    "t AS (SELECT user_id, ts, es, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS seq FROM s), "
+    "u AS (SELECT user_id, CAST(user_id AS VARCHAR) || '-' || CAST(seq AS VARCHAR) AS session_id, ts, es FROM t) "
+    "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "MIN(ts) AS session_start, MAX(ts) AS session_end, "
+    "MAX(es) - MIN(es) AS duration_sec "
+    "FROM u GROUP BY user_id, session_id",
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new per-user session."""
+    from kgtk_spark.textops.olap import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
+@query(
+    "events_topk_per_user",
+    "SELECT user_id, event_id, value, CAST(rnk AS INT) AS rank_in_group FROM ("
+    "SELECT user_id, event_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk "
+    "FROM events) WHERE rnk <= 3",
+)
+def q_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (window row_number)."""
+    from kgtk_spark.textops.olap import topk_per_group
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return topk_per_group(
+        ev, ["user_id"], "value", k=3, tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "value", F.col("rank_in_group").cast("int").alias("rank_in_group"))
+
+
+@query(
+    "events_asof_purchase",
+    "SELECT c.user_id, c.event_id, "
+    "(SELECT MAX(p.ts) FROM events p WHERE p.event_type = 'purchase' "
+    " AND p.user_id = c.user_id AND p.ts <= c.ts) AS asof_ts "
+    "FROM events c WHERE c.event_type = 'click'",
+)
+def q_asof(spark, sf_dir):
+    """As-of join: each click matched to the user's latest prior purchase."""
+    from kgtk_spark.textops.olap import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    return out.select("user_id", "event_id", F.col("asof_purchase_ts").alias("asof_ts"))
+
+
+@query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "

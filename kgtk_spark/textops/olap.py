@@ -1,0 +1,133 @@
+"""Event-stream OLAP patterns: sessionization, top-K per group, as-of join.
+
+Spark-native utilities for the training-data/event side of the engine
+(the reference is batch-file only; these cover the classic patterns a
+100 TB event table needs). All pure Column/Window expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(col):
+    """Seconds-since-epoch for TIMESTAMP or TIMESTAMP_NTZ (ANSI-safe)."""
+    return col.cast("timestamp").cast("long")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    lag + conditional cumsum over a per-user window — one shuffle on the
+    user key; session_id = ``<user>-<n>`` (0-based).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = _epoch(F.col(ts_col)) - F.lag(_epoch(F.col(ts_col))).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (
+        events.withColumn("__new__", new_session)
+        .withColumn(
+            "session_seq", F.sum("__new__").over(w) - 1
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+        )
+        .drop("__new__")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """One row per session: event count, start, end, duration seconds."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(_epoch(F.col(ts_col))) - F.min(_epoch(F.col(ts_col)))).alias(
+            "duration_sec"
+        ),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int = 3,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-K rows per group by ``order_col`` (deterministic tiebreak)."""
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    for t in tiebreak_cols or []:
+        order.append(F.col(t).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) for the same key.
+
+    Spark lacks a native as-of join; this is the union-tag-window
+    formulation: tag both sides, union on (key, ts), carry the last
+    right value forward with a window — ONE shuffle on the key, no
+    range explosion (vs. the naive range join).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of implemented")
+    lt = left.withColumn("__side__", F.lit(1)).withColumn("__ts__", F.col(left_ts))
+    rt = right.withColumn("__side__", F.lit(0)).withColumn("__ts__", F.col(right_ts))
+    right_vals = [c for c in right.columns if c != on and c != right_ts]
+    both = lt.select(
+        on, "__ts__", "__side__", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+        *[F.col(c) for c in left.columns if c != on],
+    ).unionByName(
+        rt.select(
+            on, "__ts__", "__side__", *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+        )
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_vals
+        ],
+    )
+    return (
+        filled.filter(F.col("__side__") == 1)
+        .select(
+            on,
+            *[F.col(c) for c in left.columns if c != on],
+            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_vals],
+        )
+    )

@@ -1,0 +1,56 @@
+"""OLAP pattern tests: sessionization, top-K per group, as-of join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgtk_spark.textops.olap import asof_join, session_stats, sessionize, topk_per_group
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(5)), (1, ts(50)), (2, ts(0))],
+        "user_id long, ts timestamp",
+    )
+    out = {(r["user_id"], str(r["ts"].minute)): r["session_id"]
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert out[(1, "0")] == out[(1, "5")] == "1-0"
+    assert out[(1, "50")] == "1-1"   # 45-min gap → new session
+    assert out[(2, "0")] == "2-0"
+
+    stats = {r["session_id"]: r for r in session_stats(df, gap_minutes=30).collect()}
+    assert stats["1-0"]["n_events"] == 2
+    assert stats["1-0"]["duration_sec"] == 300
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp string, id long, v double",
+    )
+    out = topk_per_group(df, ["grp"], "v", k=2, tiebreak_cols=["id"]).collect()
+    got = {(r["grp"], r["id"]): r["rank_in_group"] for r in out}
+    assert got == {("a", 2): 1, ("a", 3): 2, ("b", 4): 1}
+
+
+def test_asof_join_backward(spark):
+    clicks = spark.createDataFrame(
+        [(1, "c1", ts(10)), (1, "c2", ts(40)), (2, "c3", ts(5))],
+        "user_id long, event_id string, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, ts(0), ts(0)), (1, ts(30), ts(30))],
+        "user_id long, ts timestamp, purchase_ts timestamp",
+    )
+    out = {r["event_id"]: r["asof_purchase_ts"] for r in
+           asof_join(clicks, purchases, on="user_id").collect()}
+    assert out["c1"] == ts(0)    # latest purchase ≤ 10:10
+    assert out["c2"] == ts(30)   # latest purchase ≤ 10:40
+    assert out["c3"] is None     # user 2 never purchased
