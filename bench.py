@@ -68,6 +68,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: JVM/codegen/Python-worker startup shouldn't be
+    # charged to whichever query happens to run first.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
