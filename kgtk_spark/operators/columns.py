@@ -94,3 +94,19 @@ def kgtk_head(df: DataFrame, n: int) -> DataFrame:
 
 def kgtk_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
+
+
+def kgtk_every_nth(
+    df: DataFrame, n: int, order_by: list[str] | None = None
+) -> DataFrame:
+    """Reader option ``every_nth_record`` (kgtk/io/kgtkreader.py:832-877):
+    keep every n-th row in a deterministic total order."""
+    from pyspark.sql import Window
+
+    order = order_by or df.columns
+    w = Window.orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter((F.col("__rn__") % n) == 0)
+        .drop("__rn__")
+    )
