@@ -48,19 +48,18 @@ _DATAVALUE = T.StructType(
         ),
     ]
 )
+_SNAK = T.StructType(
+    [
+        T.StructField("snaktype", T.StringType()),
+        T.StructField("property", T.StringType()),
+        T.StructField("datavalue", _DATAVALUE),
+    ]
+)
 _CLAIM = T.StructType(
     [
-        T.StructField(
-            "mainsnak",
-            T.StructType(
-                [
-                    T.StructField("snaktype", T.StringType()),
-                    T.StructField("property", T.StringType()),
-                    T.StructField("datavalue", _DATAVALUE),
-                ]
-            ),
-        ),
+        T.StructField("mainsnak", _SNAK),
         T.StructField("rank", T.StringType()),
+        T.StructField("qualifiers", T.MapType(T.StringType(), T.ArrayType(_SNAK))),
     ]
 )
 
@@ -183,11 +182,13 @@ def import_wikidata_jsonl(
         ).alias("alias"),
     )
 
+    empty_edges = spark.createDataFrame(
+        [], "id string, node1 string, label string, node2 string"
+    )
     if "claims" not in has:
-        edges = spark.createDataFrame([], "id string, node1 string, label string, node2 string")
-        return nodes, edges
+        return nodes, empty_edges
 
-    # claims: map<property, array<claim>>; keep best-rank mainsnaks.
+    # claims: map<property, array<claim>>; keep value mainsnaks.
     exploded = raw.select(
         F.col("id").alias("node1"),
         F.explode(F.map_values(F.col("claims"))).alias("claim_group"),
@@ -199,8 +200,41 @@ def import_wikidata_jsonl(
             "node1",
             snak["property"].alias("label"),
             _value_to_kgtk(snak["datavalue"]).alias("node2"),
+            F.col("claim")["qualifiers"].alias("__quals__"),
         )
         .withColumn("id", F.concat_ws("-", "node1", "label", "node2"))
-        .select("id", "node1", "label", "node2")
     )
-    return nodes, edges
+    return nodes, edges.select("id", "node1", "label", "node2")
+
+
+def wikidata_qualifier_edges(spark: SparkSession, path_or_df: str | DataFrame) -> DataFrame:
+    """Qualifier file: (id=edge_id-qprop, node1=edge_id, label=qprop, node2=value)
+    — the reference's third output (import_wikidata qualifier file)."""
+    raw = (
+        spark.read.schema(WIKIDATA_SCHEMA).json(path_or_df)
+        if isinstance(path_or_df, str)
+        else path_or_df
+    )
+    exploded = raw.select(
+        F.col("id").alias("entity"),
+        F.explode(F.map_values(F.col("claims"))).alias("claim_group"),
+    ).select("entity", F.explode("claim_group").alias("claim"))
+    snak = F.col("claim")["mainsnak"]
+    with_edge_id = exploded.filter(snak["snaktype"] == "value").select(
+        F.concat_ws(
+            "-", "entity", snak["property"], _value_to_kgtk(snak["datavalue"])
+        ).alias("edge_id"),
+        F.col("claim")["qualifiers"].alias("quals"),
+    )
+    qsnaks = (
+        with_edge_id.filter(F.col("quals").isNotNull())
+        .select("edge_id", F.explode(F.map_values("quals")).alias("qgroup"))
+        .select("edge_id", F.explode("qgroup").alias("q"))
+        .filter(F.col("q")["snaktype"] == "value")
+    )
+    return qsnaks.select(
+        F.concat_ws("-", "edge_id", F.col("q")["property"]).alias("id"),
+        F.col("edge_id").alias("node1"),
+        F.col("q")["property"].alias("label"),
+        _value_to_kgtk(F.col("q")["datavalue"]).alias("node2"),
+    )

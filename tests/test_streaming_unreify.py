@@ -60,3 +60,38 @@ def test_windowed_counts_schema(spark, tmp_path):
     rows = out.collect()
     assert out.columns == ["window_start", "window_end", "lang", "n_pages"]
     assert sum(r["n_pages"] for r in rows) == 50
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches."""
+    from kgtk_spark.streaming.stateful import running_subject_counts
+
+    src = str(tmp_path / "stream_src")
+    # two files → with maxFilesPerTrigger=1, two micro-batches
+    spark.createDataFrame(
+        [("Q1", "P31", "Q5"), ("Q2", "P31", "Q5")], ["node1", "label", "node2"]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("Q1", "P279", "Q6")], ["node1", "label", "node2"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("node1 string, label string, node2 string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        running_subject_counts(stream)
+        .writeStream.format("memory")
+        .queryName("running_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_counts").collect()
+    # final state: Q1 seen twice total (across batches), Q2 once
+    latest = {}
+    for r in rows:
+        latest[r["node1"]] = max(latest.get(r["node1"], 0), r["total_edges"])
+    assert latest == {"Q1": 2, "Q2": 1}
