@@ -30,7 +30,12 @@ from kgtk_spark.operators.columns import (
     kgtk_sample,
 )
 from kgtk_spark.operators.clean import kgtk_clean, kgtk_validate
-from kgtk_spark.operators.unreify import unreify_rdf_statements
+from kgtk_spark.operators.unreify import unreify_rdf_statements, unreify_values
+from kgtk_spark.operators.validate_properties import (
+    PropertyPattern,
+    validate_properties,
+)
+from kgtk_spark.operators.columns import kgtk_every_nth
 
 __all__ = [
     "kgtk_filter",
@@ -59,4 +64,8 @@ __all__ = [
     "kgtk_clean",
     "kgtk_validate",
     "unreify_rdf_statements",
+    "unreify_values",
+    "validate_properties",
+    "PropertyPattern",
+    "kgtk_every_nth",
 ]

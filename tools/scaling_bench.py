@@ -78,8 +78,12 @@ def main() -> None:
 
     work = Path(tempfile.mkdtemp(prefix="kgtk_scaling_"))
     try:
-        input_dir = work / "input"
-        prepare_input(input_dir, n_pages, n_entities)
+        reuse = os.environ.get("SCALING_INPUT_DIR")
+        if reuse and Path(reuse, "pages").exists():
+            input_dir = Path(reuse)
+        else:
+            input_dir = work / "input"
+            prepare_input(input_dir, n_pages, n_entities)
         zpath = build_pyfiles_zip(work)
 
         # The sandbox host is shared (loadavg ~10 while "idle"): repeat each
