@@ -353,6 +353,65 @@ def q_sort_head(spark, sf_dir):
     return kgtk_head(kgtk_sort(tpch_edges(spark, sf_dir), ["node1", "label", "node2"]), 20)
 
 
+@query(
+    "kgtk_unreify",
+    "WITH direct AS (SELECT 'C' || CAST(o_custkey AS VARCHAR) AS node1, 'placed' AS label, "
+    "  'O' || CAST(o_orderkey AS VARCHAR) AS node2, "
+    "  'C' || CAST(o_custkey AS VARCHAR) || '-placed-O' || CAST(o_orderkey AS VARCHAR) AS id "
+    "  FROM orders), "
+    "quals AS (SELECT d.id AS node1, 'P585' AS label, "
+    "  CAST(o.o_orderdate AS VARCHAR) AS node2, d.id || '-P585' AS id "
+    "  FROM orders o JOIN direct d ON d.node2 = 'O' || CAST(o.o_orderkey AS VARCHAR)) "
+    "SELECT * FROM direct UNION ALL SELECT * FROM quals",
+)
+def q_unreify(spark, sf_dir):
+    """unreify-rdf-statements on a reified encoding of the orders table
+    (kgtk/unreify/kgtkunreifyrdfstatements.py semantics)."""
+    from kgtk_spark.operators import unreify_rdf_statements
+
+    o = load(spark, sf_dir, "orders")
+    st = F.concat(F.lit("St"), F.col("o_orderkey").cast("string"))
+    parts = [
+        o.select(st.alias("node1"), F.lit("rdf:type").alias("label"), F.lit("rdf:Statement").alias("node2")),
+        o.select(st.alias("node1"), F.lit("rdf:subject").alias("label"),
+                 F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("node2")),
+        o.select(st.alias("node1"), F.lit("rdf:predicate").alias("label"), F.lit("placed").alias("node2")),
+        o.select(st.alias("node1"), F.lit("rdf:object").alias("label"),
+                 F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("node2")),
+        o.select(st.alias("node1"), F.lit("P585").alias("label"),
+                 F.col("o_orderdate").cast("string").alias("node2")),
+    ]
+    reified = parts[0]
+    for p in parts[1:]:
+        reified = reified.unionByName(p)
+    return unreify_rdf_statements(reified)
+
+
+@query(
+    "kgtk_explode_number",
+    "SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS node1, 'qty' AS label, "
+    "CAST(l_quantity AS VARCHAR) AS node2, 'number' AS data_type, "
+    "ROUND(l_quantity, 6) AS number FROM lineitem",
+)
+def q_explode_number(spark, sf_dir):
+    """explode numeric node2 into typed fields via the value kernel
+    (kgtk/reshape/kgtkexplode.py) — oracles the number-parse path."""
+    from kgtk_spark.operators import kgtk_explode
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("node1"),
+        F.lit("qty").alias("label"),
+        F.col("l_quantity").cast("string").alias("node2"),
+    )
+    ex = kgtk_explode(edges, fields=["data_type", "number"], prefix="")
+    return ex.select(
+        "node1", "label", "node2",
+        F.col("data_type"),
+        F.round(F.col("number").cast("double"), 6).alias("number"),
+    )
+
+
 # --- graph operators ---------------------------------------------------------
 
 @query(
