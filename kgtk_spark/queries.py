@@ -597,6 +597,30 @@ def q_punct_ratio(spark, sf_dir):
     return quality_score(docs).select("doc_id", "punct_ratio")
 
 
+@query(
+    "doc_ngram_jaccard",
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, "
+    "  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "       ELSE array_to_string(t, ' ') END AS g "
+    "  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c FROM grams a "
+    "  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT u, v, ROUND(CAST(c AS DOUBLE) / (su.sz + sv.sz - c), 6) AS jaccard "
+    "FROM common JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
+    "WHERE CAST(c AS DOUBLE) / (su.sz + sv.sz - c) >= 0.05",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs (string shingles — SQL-reproducible
+    twin of the hashed production path)."""
+    from kgtk_spark.textops.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.05, hashed=False)
+    return out.select("u", "v", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query("doc_simhash")  # FNV/bit loop — no SQL oracle (rows-only)
 def q_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")

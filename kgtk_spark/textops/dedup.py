@@ -214,13 +214,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    hashed: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index.
 
     explode(shingles) → self-join on shingle → count common per pair →
     |A∩B| / (|A|+|B|−|A∩B|). The inverted index keeps the join keyed on
     shingle hash, so only docs sharing at least one shingle ever pair.
+
+    ``hashed=False`` shingles on the raw n-gram STRING (JVM-only,
+    SQL-reproducible — used by the DuckDB oracle); the default hashes
+    shingles to longs for smaller shuffles at scale.
     """
+    if not hashed:
+        # Pure Column expressions: tokens → distinct n-gram strings.
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        grams = F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(toks, " ")))
+        )
+        sh = df.select(F.col(id_col), grams.alias("sh"))
+        return _jaccard_from_shingles(sh, id_col, threshold)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shingles_udf(texts: pd.Series) -> pd.Series:
@@ -232,6 +251,10 @@ def ngram_jaccard_pairs(
         )
 
     sh = df.select(F.col(id_col), shingles_udf(F.col(text_col)).alias("sh"))
+    return _jaccard_from_shingles(sh, id_col, threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     sizes = sh.select(id_col, F.size("sh").alias("sz"))
     inv = sh.select(id_col, F.explode("sh").alias("g"))
     common = (
