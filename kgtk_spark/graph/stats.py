@@ -60,12 +60,20 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 20,
     tolerance: float = 1e-6,
-    checkpoint_every: int = 1,
+    check_delta_every: int = 5,
 ) -> DataFrame:
     """PageRank over the directed edge file → (node, vertex_pagerank).
 
     Dangling-node mass is redistributed uniformly each round. Ranks are
     probabilities (sum to 1), matching graph-tool's convention.
+
+    One Spark job per iteration: the dangling-mass sum rides along as a
+    one-row crossJoin inside the same localCheckpoint that materializes
+    the contribs aggregation (the per-iteration checkpoint keeps the
+    plan shallow, so the agg subtree never compounds). The convergence
+    delta — an extra one-row collect — is only checked every
+    ``check_delta_every`` iterations; set ``tolerance=0`` to disable
+    early stopping entirely (fixed iteration count, oracle-exact).
     """
     n1, _, n2 = _edge_cols(edges)
     pairs = edges.select(F.col(n1).alias("src"), F.col(n2).alias("dst"))
@@ -93,28 +101,29 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        # Dangling mass redistributed uniformly. A one-row collect per
-        # round keeps the per-iteration plan SHALLOW — embedding it
-        # lazily as a crossJoin subtree measured ~2× slower because the
-        # inter-checkpoint plans compound (one agg subtree per round).
         dangling = (
             ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm__"))
         )
         new_ranks = (
             verts.join(contribs, verts["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("__dm__") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
+            .localCheckpoint()
         )
-        if (i + 1) % checkpoint_every == 0 or i == max_iterations - 1:
-            new_ranks = new_ranks.localCheckpoint()
+        if tolerance > 0 and (
+            (i + 1) % check_delta_every == 0 or i == max_iterations - 1
+        ):
             delta = (
                 new_ranks.join(ranks.withColumnRenamed("rank", "old"), "node")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
@@ -158,9 +167,10 @@ def hits(
                 F.coalesce("auth_raw", F.lit(0.0)).alias("auth_raw"),
             )
         )
+        # x*x (not pow(x, 2)) so the oracle's SUM(x*x) is bit-identical
         norms = joined.agg(
-            F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("hn"),
-            F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("an"),
+            F.sqrt(F.sum(F.col("hub_raw") * F.col("hub_raw"))).alias("hn"),
+            F.sqrt(F.sum(F.col("auth_raw") * F.col("auth_raw"))).alias("an"),
         ).collect()[0]
         hn = norms["hn"] or 1.0
         an = norms["an"] or 1.0

@@ -465,14 +465,92 @@ def q_reachable(spark, sf_dir):
     return reachable_nodes(e, ["C1"])
 
 
-@query("graph_pagerank")  # iterative float fixpoint — no SQL oracle (rows-only)
+def _pagerank_oracle(iters: int = 15, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank twin of graph.stats.pagerank
+    (same init 1/n, same dangling redistribution, same damping math;
+    MATERIALIZED stops DuckDB from inlining each round twice)."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = [
+        f"WITH {EDGES_CTE.strip()}",
+        "e AS MATERIALIZED (SELECT node1, node2 FROM edges WHERE label = 'in_region')",
+        "verts AS MATERIALIZED (SELECT node1 AS node FROM e UNION SELECT node2 FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "outdeg AS MATERIALIZED (SELECT node1 AS node, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.node2 AS nd, SUM(r.rank / od.deg) AS inflow "
+            f"FROM r{i} r JOIN outdeg od ON od.node = r.node JOIN e ON e.node1 = r.node "
+            f"GROUP BY e.node2)"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{i} "
+            f"WHERE node NOT IN (SELECT node FROM outdeg))"
+        )
+        ctes.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT v.node, "
+            f"{base} / (SELECT n FROM nn) + {d} * (COALESCE(c.inflow, 0.0) "
+            f"+ (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN c{i} c ON c.nd = v.node)"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT node, ROUND(rank, 6) AS vertex_pagerank FROM r{iters}"
+    )
+
+
+def _hits_oracle(iters: int = 10) -> str:
+    """Unrolled HITS twin of graph.stats.hits: auth from hubs, hub from
+    RAW auth, then joint L2 normalization per round."""
+    ctes = [
+        f"WITH {EDGES_CTE.strip()}",
+        "e AS MATERIALIZED (SELECT node1, node2 FROM edges WHERE label = 'in_region')",
+        "verts AS MATERIALIZED (SELECT node1 AS node FROM e UNION SELECT node2 FROM e)",
+        "s0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth FROM verts)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT e.node2 AS nd, SUM(s.hub) AS auth_raw "
+            f"FROM s{i} s JOIN e ON e.node1 = s.node GROUP BY e.node2)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT e.node1 AS nd, SUM(a.auth_raw) AS hub_raw "
+            f"FROM a{i} a JOIN e ON e.node2 = a.nd GROUP BY e.node1)"
+        )
+        ctes.append(
+            f"j{i} AS MATERIALIZED (SELECT v.node, COALESCE(h.hub_raw, 0.0) AS hub_raw, "
+            f"COALESCE(a.auth_raw, 0.0) AS auth_raw "
+            f"FROM verts v LEFT JOIN a{i} a ON a.nd = v.node LEFT JOIN h{i} h ON h.nd = v.node)"
+        )
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT sqrt(SUM(hub_raw * hub_raw)) AS hn, "
+            f"sqrt(SUM(auth_raw * auth_raw)) AS an FROM j{i})"
+        )
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT node, "
+            f"hub_raw / (SELECT CASE WHEN hn IS NULL OR hn = 0 THEN 1.0 ELSE hn END FROM n{i}) AS hub, "
+            f"auth_raw / (SELECT CASE WHEN an IS NULL OR an = 0 THEN 1.0 ELSE an END FROM n{i}) AS auth "
+            f"FROM j{i})"
+        )
+    return (
+        ", ".join(ctes)
+        + f" SELECT node, ROUND(hub, 6) AS vertex_hubs, ROUND(auth, 6) AS vertex_auth FROM s{iters}"
+    )
+
+
+@query("graph_pagerank", _pagerank_oracle(iters=15))
 def q_pagerank(spark, sf_dir):
+    """Fixed 15 iterations, tolerance=0 (no early stop) — value-exact
+    against the unrolled DuckDB CTE oracle after ROUND(…, 6)."""
     e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
-    pr = pagerank(e, max_iterations=15)
+    pr = pagerank(e, max_iterations=15, tolerance=0.0)
     return pr.select("node", F.round("vertex_pagerank", 6).alias("vertex_pagerank"))
 
 
-@query("graph_hits")  # iterative float fixpoint — no SQL oracle (rows-only)
+@query("graph_hits", _hits_oracle(iters=10))
 def q_hits(spark, sf_dir):
     from kgtk_spark.graph.stats import hits
 
@@ -621,16 +699,51 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("u", "v", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("doc_simhash")  # FNV/bit loop — no SQL oracle (rows-only)
+def _simhash_oracle() -> str:
+    from kgtk_spark.textops.dedup import simhash_oracle_sql
+
+    return simhash_oracle_sql()
+
+
+@query("doc_simhash", _simhash_oracle())
 def q_simhash(spark, sf_dir):
+    """60-bit JVM SimHash (md5-derived token hashes) — bit-exact twin
+    of the DuckDB hex-parse oracle."""
     docs = load(spark, sf_dir, "documents")
     return simhash_signatures(docs)
 
 
-@query("doc_minhash_clusters")  # LSH banding — no SQL oracle (rows-only)
+_MINHASH_ORACLE = (
+    # Ground truth: brute-force exact 3-gram Jaccard >= 0.8 pairs, then
+    # recursive-CTE connected components; cluster = numeric min doc_id.
+    # The Spark side (LSH candidates + exact-Jaccard verify + CC) must
+    # produce exactly these clusters — LSH only prunes, verify is exact.
+    "WITH RECURSIVE "
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, "
+    "  CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "       ELSE array_to_string(t, ' ') END AS g "
+    "  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS s(i)), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c FROM grams a "
+    "  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT u, v FROM common "
+    "  JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
+    "  WHERE CAST(c AS DOUBLE) / (su.sz + sv.sz - c) >= 0.8), "
+    "und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), "
+    "reach(src, dst) AS ("
+    "  SELECT u, u FROM und "
+    "  UNION SELECT r.src, und.v FROM reach r JOIN und ON r.dst = und.u), "
+    "comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src) "
+    "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id "
+    "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"
+)
+
+
+@query("doc_minhash_clusters", _MINHASH_ORACLE)
 def q_minhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return minhash_near_dup(docs, jaccard_threshold=0.8)
+    return minhash_near_dup(docs, jaccard_threshold=0.8, verify="exact")
 
 
 # --- events (batch window aggregation) ----------------------------------------

@@ -2,24 +2,37 @@
 
 Scale design:
 - exact: one hash aggregation on the dedup key (map-side partial agg);
-- MinHash+LSH: signatures are a vectorized numpy pandas UDF (one pass
-  over text); banding turns the O(n²) pair problem into a groupBy on
-  (band, band_hash) — only same-bucket docs ever meet; candidate pairs
-  are verified with real Jaccard and clustered with the
-  connected-components fixpoint so transitive duplicates collapse;
-- SimHash: 64-bit signature; near-dup = identical signature (or
-  bucket by rotation for hamming>0 — v0 uses exact signature match);
-- n-gram Jaccard: explicit shingle-set semi-join for small candidate
-  sets (the LSH path is the scale path; this is the exact verifier).
+- shingling + shingle hashing are pure JVM expressions (split/transform/
+  xxhash64) — no Python in the tokenize/hash hot path; the only Python
+  is the numpy-vectorized MinHash permutation min, fed pre-hashed longs;
+- MinHash+LSH: banding turns the O(n²) pair problem into a groupBy on
+  (band, bucket); degenerate buckets (boilerplate/template corpora) are
+  CAPPED at ``bucket_cap`` docs — over-cap buckets are skipped (and
+  optionally counted+logged) instead of self-joining quadratically;
+  candidates are verified with EXACT Jaccard over the hashed shingle
+  sets (``verify="exact"``, SQL-reproducible) or the signature estimate
+  (``verify="estimate"``), then clustered with the connected-components
+  fixpoint so transitive duplicates collapse; cluster_id is the NUMERIC
+  min doc id of the cluster;
+- SimHash: 60-bit signature, entirely JVM-side (md5-derived token
+  hashes), bit-math reproducible in ANSI SQL for the DuckDB oracle;
+- n-gram Jaccard: inverted shingle index with a document-frequency cap
+  (``df_cap``) so one boilerplate shingle shared by k docs cannot emit
+  k² join rows; dropped shingles only lower the intersection count
+  (standard DF-capped exact-Jaccard verification).
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 # Deterministic 64-bit mixing (splitmix64) — stable across executors/runs.
 _MASK = (1 << 64) - 1
@@ -32,25 +45,28 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> 31)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the k-word shingles of ``text`` (uint64, deduped)."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.array([], dtype=np.uint64)
-    h = np.array([hash_bytes(s.encode()) for s in shingles], dtype=np.uint64)
-    return np.unique(h)
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Distinct n-word shingles of a text column — pure JVM expression.
+
+    Short texts (< n tokens) yield one shingle: the whole text. The
+    same construction is expressible in DuckDB SQL, so every consumer
+    of this helper is oracle-able on string shingles.
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
 
 
-def hash_bytes(b: bytes) -> int:
-    """FNV-1a 64-bit — deterministic, no PYTHONHASHSEED dependence."""
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h = ((h ^ byte) * 0x100000001B3) & _MASK
-    return h
+def hashed_shingles(text_col: Column, n: int) -> Column:
+    """xxhash64 of each distinct word shingle — JVM-side, no Python."""
+    return F.transform(word_ngrams(text_col, n), lambda g: F.xxhash64(g))
 
 
 def exact_dedup(
@@ -68,23 +84,91 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures, numpy-vectorized."""
+    """(id, sig: array<long>) MinHash signatures.
+
+    Shingling and shingle hashing happen JVM-side (xxhash64); the
+    pandas UDF only takes the min over ``num_hashes`` splitmix64
+    permutations — a fully numpy-vectorized matrix op per batch.
+    """
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    empty = [0] * num_hashes
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
+    def sig_udf(shingles: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            sh = _shingle_hashes(t or "", shingle_k)
-            if sh.size == 0:
-                out.append([0] * num_hashes)
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
                 continue
-            # permuted = splitmix64(shingle ^ seed) per hash function
+            sh = np.asarray(arr, dtype=np.int64).view(np.uint64)
             m = _splitmix64(sh[None, :] ^ seeds[:, None])
-            out.append([int(v) for v in m.min(axis=1).astype(np.int64)])
+            out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    return df.select(
+        F.col(id_col),
+        sig_udf(hashed_shingles(F.col(text_col), shingle_k)).alias("sig"),
+    )
+
+
+def _lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    bucket_cap: int,
+    log_skipped: bool,
+) -> DataFrame:
+    """Banded LSH candidate pairs with a bucket-size cap.
+
+    A bucket larger than ``bucket_cap`` (template pages, empty docs)
+    would self-join quadratically; such buckets are dropped. At real
+    scale re-run the over-cap residue with more bands or report it.
+    """
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__bsz__")
+    )
+    if log_skipped:
+        skipped = bucket_sizes.filter(F.col("__bsz__") > bucket_cap).count()
+        if skipped:
+            logger.warning(
+                "minhash LSH: skipping %d over-cap buckets (> %d docs)",
+                skipped,
+                bucket_cap,
+            )
+    ok = bucket_sizes.filter(F.col("__bsz__") <= bucket_cap).select("band", "bucket")
+    capped = banded.join(ok, ["band", "bucket"], "left_semi")
+    return (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("u"), F.col(f"b.{id_col}").alias("v"))
+        .distinct()
+    )
 
 
 def minhash_near_dup(
@@ -95,63 +179,63 @@ def minhash_near_dup(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    verify: str = "exact",
+    bucket_cap: int = 2000,
+    log_skipped: bool = False,
 ) -> DataFrame:
     """Near-duplicate clusters via MinHash banding + Jaccard verify.
 
-    Returns (doc_id, cluster_id) where cluster_id = min doc_id of the
-    duplicate cluster; singletons map to themselves.
+    Returns (doc_id, cluster_id) where cluster_id = NUMERIC min doc_id
+    of the duplicate cluster; singletons map to themselves.
+
+    ``verify="exact"`` (default) verifies candidates with exact Jaccard
+    over the hashed shingle sets (array_intersect, JVM-side) — equal to
+    string-shingle Jaccard modulo xxhash64 collisions, hence
+    reproducible by a DuckDB oracle. ``verify="estimate"`` uses the
+    signature-agreement estimate (cheaper: no shingle sets shipped to
+    the candidate join, at the cost of estimate noise near threshold).
     """
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).cache()
+    pairs = _lsh_candidates(sigs, id_col, bands, rows_per_band, bucket_cap, log_skipped)
 
-    # band → bucket hash → candidate pairs within a bucket
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        F.concat_ws(
-                            ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                                   for r in range(rows_per_band)]
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if verify == "exact":
+        grams = df.select(
+            F.col(id_col), hashed_shingles(F.col(text_col), shingle_k).alias("gs")
         )
-        .select(F.col(f"a.{id_col}").alias("u"), F.col(f"b.{id_col}").alias("v"))
-        .distinct()
-    )
-
-    # Verify candidates with estimated Jaccard from full signatures.
-    sa = sigs.select(F.col(id_col).alias("u"), F.col("sig").alias("sig_u"))
-    sb = sigs.select(F.col(id_col).alias("v"), F.col("sig").alias("sig_v"))
-    matches = F.aggregate(
-        F.zip_with("sig_u", "sig_v", lambda a, b: F.when(a == b, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    verified = (
-        pairs.join(sa, "u")
-        .join(sb, "v")
-        .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
-        .filter(F.col("est_jaccard") >= jaccard_threshold)
-        .select("u", "v")
-    )
+        ga = grams.select(F.col(id_col).alias("u"), F.col("gs").alias("gs_u"))
+        gb = grams.select(F.col(id_col).alias("v"), F.col("gs").alias("gs_v"))
+        inter = F.size(F.array_intersect("gs_u", "gs_v"))
+        verified = (
+            pairs.join(ga, "u")
+            .join(gb, "v")
+            .withColumn(
+                "jaccard",
+                inter / (F.size("gs_u") + F.size("gs_v") - inter),
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("u", "v")
+        )
+    elif verify == "estimate":
+        sa = sigs.select(F.col(id_col).alias("u"), F.col("sig").alias("sig_u"))
+        sb = sigs.select(F.col(id_col).alias("v"), F.col("sig").alias("sig_v"))
+        matches = F.aggregate(
+            F.zip_with("sig_u", "sig_v", lambda a, b: F.when(a == b, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        verified = (
+            pairs.join(sa, "u")
+            .join(sb, "v")
+            .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("u", "v")
+        )
+    else:
+        raise ValueError(f"unknown verify mode: {verify!r}")
 
     from kgtk_spark.graph.connected_components import _components_fixpoint
 
@@ -159,16 +243,23 @@ def minhash_near_dup(
     if verified.isEmpty():
         return ids.withColumn("cluster_id", F.col(id_col))
     assign = _components_fixpoint(
-        verified.select(F.col("u").cast("string").alias("u"), F.col("v").cast("string").alias("v"))
+        verified.select(
+            F.col("u").cast("string").alias("u"), F.col("v").cast("string").alias("v")
+        )
     )
-    assign = assign.select(
-        F.col("node").cast("long").alias(id_col),
-        F.col("component").cast("long").alias("cluster_id"),
+    # Component labels are string-min (arbitrary but consistent); re-map
+    # each component to its NUMERIC min member so cluster ids are stable
+    # and SQL-reproducible (string min of {"98","290"} would be "290").
+    assign = assign.select(F.col("node").cast("long").alias(id_col), "component")
+    reps = assign.groupBy("component").agg(F.min(id_col).alias("cluster_id"))
+    assign = assign.join(reps, "component").select(id_col, "cluster_id")
+    return ids.join(assign, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
     )
-    return (
-        ids.join(assign, id_col, "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
-    )
+
+
+_HEX_WIDTH = 15  # 15 hex digits = 60 bits, fits a signed long exactly
+SIMHASH_BITS = 60
 
 
 def simhash_signatures(
@@ -176,27 +267,54 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over word tokens."""
+    """(id, simhash: long) — 60-bit SimHash over word tokens, all JVM.
 
-    @F.pandas_udf(T.LongType())
-    def sim_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array([hash_bytes(w.encode()) for w in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
-            sig = np.uint64(0)
-            for i in range(64):
-                if v[i]:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+    Per-token hash = first 15 hex digits of md5 (60 bits): available in
+    both Spark (conv) and ANSI SQL/DuckDB (positional hex parse), so
+    the signature is byte-reproducible by the oracle. No Python runs —
+    tokenization, hashing, the per-bit majority vote, and the bit pack
+    are Catalyst expressions.
+    """
+    bits = SIMHASH_BITS
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("__toks__"))
+    d = d.select(
+        id_col,
+        F.expr(
+            f"transform(__toks__, t -> cast(conv(substring(md5(t), 1, {_HEX_WIDTH}), 16, 10) as bigint))"
+        ).alias("__hs__"),
+        F.size("__toks__").alias("__ntok__"),
+    )
+    counts = (
+        f"aggregate(__hs__, array_repeat(0, {bits}), (acc, x) -> "
+        f"zip_with(acc, transform(sequence(0, {bits - 1}), i -> cast((x div shiftleft(cast(1 as bigint), i)) % 2 as int)), "
+        f"(a, b) -> a + b))"
+    )
+    d = d.select(id_col, F.expr(counts).alias("__cnt__"), "__ntok__")
+    sig = (
+        f"aggregate(transform(sequence(0, {bits - 1}), i -> "
+        f"if(element_at(__cnt__, i + 1) * 2 >= __ntok__, shiftleft(cast(1 as bigint), i), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, b) -> a + b)"
+    )
+    return d.select(id_col, F.expr(sig).alias("simhash"))
 
-    return df.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`simhash_signatures` (same bit math)."""
+    bits = SIMHASH_BITS
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1) * {16 ** (_HEX_WIDTH - k)}"
+        for k in range(1, _HEX_WIDTH + 1)
+    )
+    return (
+        f"WITH toks AS (SELECT {id_col}, regexp_split_to_array(trim(text), '\\s+') AS t FROM {table}), "
+        f"hs AS (SELECT {id_col}, len(t) AS ntok, list_transform(t, tok -> CAST({hexparse} AS BIGINT)) AS h FROM toks), "
+        f"cnts AS (SELECT {id_col}, ntok, list_transform(generate_series(0, {bits - 1}), "
+        f"i -> CAST(list_sum(list_transform(h, x -> (x >> i) & 1)) AS BIGINT)) AS counts FROM hs) "
+        f"SELECT {id_col}, CAST(list_sum(list_transform(generate_series(0, {bits - 1}), "
+        f"i -> CASE WHEN counts[i + 1] * 2 >= ntok THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash "
+        f"FROM cnts"
+    )
 
 
 def simhash_near_dup(
@@ -215,51 +333,60 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hashed: bool = True,
+    df_cap: int | None = 1000,
+    log_skipped: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over an inverted shingle index.
+    """Exact n-gram Jaccard over a DF-capped inverted shingle index.
 
     explode(shingles) → self-join on shingle → count common per pair →
-    |A∩B| / (|A|+|B|−|A∩B|). The inverted index keeps the join keyed on
-    shingle hash, so only docs sharing at least one shingle ever pair.
+    |A∩B| / (|A|+|B|−|A∩B|). Shingles appearing in more than ``df_cap``
+    documents are dropped from the index (one web-scale boilerplate
+    shingle would otherwise pair every doc containing it — k² rows);
+    set sizes stay uncapped, so dropped shingles only lower the
+    intersection estimate for pairs sharing them.
 
     ``hashed=False`` shingles on the raw n-gram STRING (JVM-only,
     SQL-reproducible — used by the DuckDB oracle); the default hashes
-    shingles to longs for smaller shuffles at scale.
+    shingles to longs (xxhash64, JVM) for smaller shuffles at scale.
     """
-    if not hashed:
-        # Pure Column expressions: tokens → distinct n-gram strings.
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
-        grams = F.array_distinct(
-            F.when(
-                F.size(toks) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-                ),
-            ).otherwise(F.array(F.array_join(toks, " ")))
-        )
-        sh = df.select(F.col(id_col), grams.alias("sh"))
-        return _jaccard_from_shingles(sh, id_col, threshold)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def shingles_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                [int(np.int64(np.uint64(h).astype(np.int64))) for h in _shingle_hashes(t or "", n)]
-                for t in texts
-            ]
-        )
-
-    sh = df.select(F.col(id_col), shingles_udf(F.col(text_col)).alias("sh"))
-    return _jaccard_from_shingles(sh, id_col, threshold)
+    grams = (
+        hashed_shingles(F.col(text_col), n)
+        if hashed
+        else word_ngrams(F.col(text_col), n)
+    )
+    sh = df.select(F.col(id_col), grams.alias("sh"))
+    return _jaccard_from_shingles(sh, id_col, threshold, df_cap, log_skipped)
 
 
-def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _jaccard_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    df_cap: int | None = None,
+    log_skipped: bool = False,
+) -> DataFrame:
     sizes = sh.select(id_col, F.size("sh").alias("sz"))
     inv = sh.select(id_col, F.explode("sh").alias("g"))
+    if df_cap is not None:
+        dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("__df__"))
+        if log_skipped:
+            dropped = dfreq.filter(F.col("__df__") > df_cap).count()
+            if dropped:
+                logger.warning(
+                    "ngram_jaccard: dropping %d shingles with document frequency > %d",
+                    dropped,
+                    df_cap,
+                )
+        inv = inv.join(
+            dfreq.filter(F.col("__df__") <= df_cap).select("g"), "g", "left_semi"
+        )
     common = (
         inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .join(
+            inv.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .groupBy(F.col(f"a.{id_col}").alias("u"), F.col(f"b.{id_col}").alias("v"))
         .agg(F.count(F.lit(1)).alias("common"))
     )

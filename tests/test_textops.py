@@ -86,6 +86,51 @@ def test_dedup_runs_on_real_documents(docs):
     assert out.count() == docs.count()  # total assignment
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    # 50 docs all sharing ONE boilerplate shingle plus a unique tail.
+    # Uncapped, the hot shingle pairs every doc: 50*49/2 candidates.
+    # With the DF cap it is dropped from the index → zero pairs.
+    rows = [
+        (i, f"all rights reserved unique{i} tail{i} words{i} here{i}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01, df_cap=None)
+    assert uncapped.count() == 50 * 49 // 2  # the quadratic blowup
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, df_cap=5)
+    assert capped.count() == 0
+
+
+def test_minhash_bucket_cap_skips_degenerate_bucket(spark):
+    # 30 identical docs land in ONE LSH bucket per band. Over-cap
+    # buckets must be skipped (no quadratic self-join), leaving every
+    # doc a singleton; with the cap above the bucket size they cluster.
+    rows = [(i, "exact same template page body text") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_near_dup(df, bucket_cap=5).collect()
+    }
+    assert all(capped[i] == i for i in range(30))
+    uncapped = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_near_dup(df, bucket_cap=100).collect()
+    }
+    assert all(uncapped[i] == 0 for i in range(30))
+
+
+def test_minhash_cluster_id_is_numeric_min(spark):
+    # ids chosen so string-min ("290" < "98") differs from numeric min.
+    rows = [
+        (98, "identical duplicated body of shared text content here"),
+        (290, "identical duplicated body of shared text content here"),
+        (300, "completely unrelated page about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"] for r in minhash_near_dup(df).collect()}
+    assert out == {98: 98, 290: 98, 300: 300}
+
+
 def test_brute_force_topk(spark, emb):
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     out = brute_force_topk(emb, list(q), k=5).collect()
