@@ -563,6 +563,272 @@ def q_hits(spark, sf_dir):
     )
 
 
+# --- CSKG dataset importers ----------------------------------------------------
+# Each importer is fed a deterministic importer-shaped derivation of the
+# TPC-H tables; the oracle re-derives the expected 9-column edge set
+# directly in SQL, so the import logic (URI parsing, label stringify,
+# camel-case relation labels, people-mention removal, id minting) is
+# value-checked end to end.
+
+
+@query(
+    "cskg_conceptnet",
+    "SELECT '/c/en/' || replace(p_name, ' ', '_') AS node1, "
+    "CASE WHEN p_partkey % 2 = 0 THEN '/r/UsedFor' ELSE '/r/RelatedTo' END AS relation, "
+    "'/c/en/' || lower(replace(p_type, ' ', '_')) AS node2, "
+    "'\"' || p_name || '\"' AS \"node1;label\", "
+    "'\"' || lower(p_type) || '\"' AS \"node2;label\", "
+    "CASE WHEN p_partkey % 2 = 0 THEN '\"used for\"' ELSE '\"related to\"' END AS \"relation;label\", "
+    "'' AS \"relation;dimension\", '\"CN\"' AS source, "
+    "CASE WHEN p_partkey % 2 = 0 THEN '\"' || p_name || ' is used\"' ELSE '' END AS sentence "
+    "FROM part",
+)
+def q_cskg_conceptnet(spark, sf_dir):
+    """ConceptNet importer (kgtk/cli/import_conceptnet.py:50-82) over
+    assertion rows synthesized from the part table."""
+    from kgtk_spark.sources import import_conceptnet
+
+    p = load(spark, sf_dir, "part")
+    even = F.col("p_partkey") % 2 == 0
+    raw = p.select(
+        F.lit("").alias("assertion"),
+        F.when(even, "/r/UsedFor").otherwise("/r/RelatedTo").alias("rel"),
+        F.concat(F.lit("/c/en/"), F.replace(F.col("p_name"), F.lit(" "), F.lit("_"))).alias("subj"),
+        F.concat(
+            F.lit("/c/en/"), F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("_")))
+        ).alias("obj"),
+        F.when(
+            even,
+            F.concat(F.lit('{"surfaceText": "'), F.col("p_name"), F.lit(' is used"}')),
+        )
+        .otherwise(F.lit("{}"))
+        .alias("metadata"),
+    )
+    return import_conceptnet(raw)
+
+
+@query(
+    "cskg_concept_pairs",
+    "SELECT 'cp:cn_' || s_name AS node1, '/r/RelatedTo' AS relation, "
+    "'cp:cn_nation' || CAST(s_nationkey AS VARCHAR) AS node2, "
+    "'\"' || s_name || '\"' AS \"node1;label\", "
+    "'\"nation' || CAST(s_nationkey AS VARCHAR) || '\"' AS \"node2;label\", "
+    "'\"related to\"' AS \"relation;label\", '' AS \"relation;dimension\", "
+    "'\"CP\"' AS source, '' AS sentence FROM supplier",
+)
+def q_cskg_concept_pairs(spark, sf_dir):
+    """Concept-pairs importer (kgtk/cli/import_concept_pairs.py:51-79)."""
+    from kgtk_spark.sources import import_concept_pairs
+
+    s = load(spark, sf_dir, "supplier")
+    raw = s.select(
+        F.concat(F.lit("cn_"), F.col("s_name")).alias("w1"),
+        F.concat(F.lit("cn_nation"), F.col("s_nationkey").cast("string")).alias("w2"),
+    )
+    return import_concept_pairs(raw, relation="/r/RelatedTo", source="CP")
+
+
+@query(
+    "cskg_atomic",
+    "WITH base AS (SELECT lower(o_orderpriority) AS pr, lower(o_orderstatus) AS st FROM orders) "
+    "SELECT 'at:personx_ships_' || replace(pr, ' ', '_') AS node1, 'at:xWant' AS relation, "
+    "'at:to_deliver' AS node2, "
+    "'\"personx ships ' || pr || '\"|\"ships ' || pr || '\"' AS \"node1;label\", "
+    "'\"to deliver\"' AS \"node2;label\", '\"person x wants\"' AS \"relation;label\", "
+    "'' AS \"relation;dimension\", '\"AT\"' AS source, '' AS sentence FROM base "
+    "UNION ALL "
+    "SELECT 'at:personx_ships_' || replace(pr, ' ', '_'), 'at:oEffect', "
+    "'at:gets_' || replace(st, ' ', '_'), "
+    "'\"personx ships ' || pr || '\"|\"ships ' || pr || '\"', "
+    "'\"gets ' || st || '\"', '\"the effect on others\"', '', '\"AT\"', '' FROM base",
+)
+def q_cskg_atomic(spark, sf_dir):
+    """ATOMIC importer (kgtk/cli/import_atomic.py:85-119): JSON-list
+    relation columns, people-mention removal, piped double labels."""
+    from kgtk_spark.sources import import_atomic
+
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        F.concat(
+            F.lit("PersonX ships "), F.lower(F.col("o_orderpriority")), F.lit(".")
+        ).alias("event"),
+        F.lit('["to deliver", "none"]').alias("xWant"),
+        F.concat(F.lit('["gets '), F.lower(F.col("o_orderstatus")), F.lit('"]')).alias(
+            "oEffect"
+        ),
+    )
+    return import_atomic(raw)
+
+
+# Label text respaces underscores (lemma '_' → ' '), hence the double
+# replace: any space or underscore in the source name reads as a space.
+_WN_SYN_CTE = (
+    "syn AS (SELECT lower(replace(n_name, ' ', '_')) || '.n.01' AS nsyn, "
+    "replace(lower(n_name), '_', ' ') AS nl, "
+    "lower(replace(r_name, ' ', '_')) || '.n.01' AS rsyn, "
+    "replace(lower(r_name), '_', ' ') AS rl "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey)"
+)
+
+
+@query(
+    "cskg_wordnet",
+    f"WITH {_WN_SYN_CTE} "
+    "SELECT 'wn:' || nsyn AS node1, '/r/IsA' AS relation, 'wn:' || rsyn AS node2, "
+    "'\"' || nl || '\"|\"' || nl || ' land\"' AS \"node1;label\", "
+    "'\"' || rl || '\"' AS \"node2;label\", '\"is a\"' AS \"relation;label\", "
+    "'' AS \"relation;dimension\", '\"WN\"' AS source, '' AS sentence FROM syn "
+    "UNION ALL "
+    "SELECT 'wn:' || rsyn, '/r/MadeOf', 'wn:' || nsyn, '\"' || rl || '\"', "
+    "'\"' || nl || '\"|\"' || nl || ' land\"', '\"is made of\"', '', '\"WN\"', '' FROM syn",
+)
+def q_cskg_wordnet(spark, sf_dir):
+    """WordNet importer (kgtk/cli/import_wordnet.py:99-133) over a
+    synset table derived from nation/region (IsA up, MadeOf down)."""
+    from kgtk_spark.sources import import_wordnet
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nsyn = F.concat(
+        F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("_"))), F.lit(".n.01")
+    )
+    rsyn = F.concat(
+        F.lower(F.replace(F.col("r_name"), F.lit(" "), F.lit("_"))), F.lit(".n.01")
+    )
+    nlem = F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("_")))
+    empty = F.array().cast("array<string>")
+    nation_syns = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            nsyn.alias("name"),
+            F.array(nlem, F.concat(nlem, F.lit("_land"))).alias("lemmas"),
+            F.array(rsyn).alias("hypernyms"),
+            empty.alias("member_holonyms"),
+            empty.alias("part_holonyms"),
+            empty.alias("substance_meronyms"),
+        )
+    )
+    region_syns = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_list(nsyn)).alias("substance_meronyms"))
+        .select(
+            F.concat(
+                F.lower(F.replace(F.col("r_name"), F.lit(" "), F.lit("_"))),
+                F.lit(".n.01"),
+            ).alias("name"),
+            F.array(F.lower(F.replace(F.col("r_name"), F.lit(" "), F.lit("_")))).alias(
+                "lemmas"
+            ),
+            empty.alias("hypernyms"),
+            empty.alias("member_holonyms"),
+            empty.alias("part_holonyms"),
+            F.col("substance_meronyms"),
+        )
+    )
+    return import_wordnet(nation_syns.unionByName(region_syns))
+
+
+@query(
+    "cskg_framenet",
+    "WITH j AS (SELECT lower(replace(n_name, ' ', '_')) AS nf, "
+    "replace(lower(n_name), '_', ' ') AS nl, "
+    "lower(replace(r_name, ' ', '_')) AS rf, "
+    "replace(lower(r_name), '_', ' ') AS rl "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey) "
+    "SELECT 'fn:' || rf AS node1, 'fn:IsInheritedBy' AS relation, 'fn:' || nf AS node2, "
+    "'\"' || rl || '\"' AS \"node1;label\", '\"' || nl || '\"' AS \"node2;label\", "
+    "'\"is inherited by\"' AS \"relation;label\", '' AS \"relation;dimension\", "
+    "'\"FN\"' AS source, '' AS sentence FROM j "
+    "UNION ALL SELECT 'fn:' || nf, 'fn:InheritsFrom', 'fn:' || rf, '\"' || nl || '\"', "
+    "'\"' || rl || '\"', '\"inherits from\"', '', '\"FN\"', '' FROM j "
+    "UNION ALL SELECT 'fn:' || nf, 'fn:HasLexicalUnit', 'fn:lu:' || nf || ':' || nf, "
+    "'\"' || nl || '\"', '\"' || nl || '\"', '\"has lexical unit\"', '', '\"FN\"', '' FROM j",
+)
+def q_cskg_framenet(spark, sf_dir):
+    """FrameNet importer (kgtk/cli/import_framenet.py:65-174): frame
+    inheritance pairs + lexical units over nation/region frames."""
+    from kgtk_spark.sources import import_framenet
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(r, n["n_regionkey"] == r["r_regionkey"])
+    fr = j.select(
+        F.col("r_name").alias("super_frame"),
+        F.col("n_name").alias("sub_frame"),
+        F.lit("Inheritance").alias("type"),
+    )
+    lus = j.select(
+        F.col("n_name").alias("frame"),
+        F.concat(F.lower(F.col("n_name")), F.lit(".v")).alias("lu"),
+    )
+    return import_framenet(fr, lus, None)
+
+
+@query(
+    "cskg_visualgenome",
+    "WITH j AS (SELECT n_nationkey AS k, "
+    "lower(replace(n_name, ' ', '_')) || '.n.01' AS nsyn, lower(n_name) AS nl, "
+    "lower(replace(r_name, ' ', '_')) || '.n.01' AS rsyn, lower(r_name) AS rl "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey) "
+    "SELECT 'wn:' || nsyn AS node1, "
+    "CASE WHEN k % 2 = 0 THEN 'mw:MayHaveProperty' ELSE '/r/CapableOf' END AS relation, "
+    "CASE WHEN k % 2 = 0 THEN 'wn:big.a.01' ELSE 'wn:run.v.01' END AS node2, "
+    "'\"' || nl || '\"' AS \"node1;label\", "
+    "CASE WHEN k % 2 = 0 THEN '\"big\"' ELSE '\"running\"' END AS \"node2;label\", "
+    "CASE WHEN k % 2 = 0 THEN '\"may have property\"' ELSE '\"capable of\"' END AS \"relation;label\", "
+    "'' AS \"relation;dimension\", '\"VG\"' AS source, '' AS sentence FROM j "
+    "UNION ALL "
+    "SELECT 'wn:' || nsyn, '/r/LocatedNear', 'wn:' || rsyn, '\"' || nl || '\"', "
+    "'\"' || rl || '\"', '\"in\"', '', '\"VG\"', '' FROM j",
+)
+def q_cskg_visualgenome(spark, sf_dir):
+    """Visual Genome importer (kgtk/cli/import_visualgenome.py:58-144)
+    over synthetic one-relationship scene graphs."""
+    from kgtk_spark.sources import import_visualgenome
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(r, n["n_regionkey"] == r["r_regionkey"])
+    nsyn = F.concat(
+        F.lower(F.replace(F.col("n_name"), F.lit(" "), F.lit("_"))), F.lit(".n.01")
+    )
+    rsyn = F.concat(
+        F.lower(F.replace(F.col("r_name"), F.lit(" "), F.lit("_"))), F.lit(".n.01")
+    )
+    even = F.col("n_nationkey") % 2 == 0
+    scene = j.select(
+        F.col("n_nationkey").cast("long").alias("image_id"),
+        F.array(
+            F.struct(
+                F.lit(1).cast("long").alias("object_id"),
+                F.array(F.lower("n_name")).alias("names"),
+                F.array(nsyn).alias("synsets"),
+                F.when(even, F.array(F.lit("big")))
+                .otherwise(F.array(F.lit("running")))
+                .alias("attributes"),
+            ),
+            F.struct(
+                F.lit(2).cast("long").alias("object_id"),
+                F.array(F.lower("r_name")).alias("names"),
+                F.array(rsyn).alias("synsets"),
+                F.lit(None).cast("array<string>").alias("attributes"),
+            ),
+        ).alias("objects"),
+        F.array(
+            F.struct(
+                F.lit("In.").alias("predicate"),
+                F.lit(1).cast("long").alias("subject_id"),
+                F.lit(2).cast("long").alias("object_id"),
+            )
+        ).alias("relationships"),
+    )
+    attr_syn = spark.createDataFrame(
+        [("big", "big.a.01"), ("running", "run.v.01")], "attr string, synset string"
+    )
+    return import_visualgenome(scene, attr_syn)
+
+
 # --- training-data ops over documents/embeddings ------------------------------
 
 @query(

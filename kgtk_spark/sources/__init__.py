@@ -13,6 +13,17 @@ projection + format-string stages.
 from kgtk_spark.sources.ntriples import export_ntriples, import_ntriples
 from kgtk_spark.sources.wikidata import import_wikidata_jsonl
 from kgtk_spark.sources.exports import export_cypher, to_markdown
+from kgtk_spark.sources.cskg import (
+    CSKG_COLUMNS,
+    import_atomic,
+    import_concept_pairs,
+    import_conceptnet,
+    import_framenet,
+    import_visualgenome,
+    import_wordnet,
+    read_conceptnet_csv,
+    read_visualgenome_scene_graphs,
+)
 
 __all__ = [
     "import_ntriples",
@@ -20,4 +31,13 @@ __all__ = [
     "import_wikidata_jsonl",
     "export_cypher",
     "to_markdown",
+    "CSKG_COLUMNS",
+    "import_conceptnet",
+    "import_concept_pairs",
+    "import_atomic",
+    "import_wordnet",
+    "import_framenet",
+    "import_visualgenome",
+    "read_conceptnet_csv",
+    "read_visualgenome_scene_graphs",
 ]

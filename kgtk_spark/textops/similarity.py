@@ -116,11 +116,14 @@ def cosine_pairs(
     id_col: str = "vec_id",
     dim: int | None = None,
     seed: int = 42,
+    bucket_cap: int = 2000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: same LSH bucket + exact verify.
 
-    The self-join is keyed on the signature, so the worst case is the
-    largest bucket squared — at scale raise ``bits`` until buckets fit.
+    The self-join is keyed on the signature; a degenerate bucket (e.g.
+    a zero-vector pileup) would square, so buckets over ``bucket_cap``
+    vectors are dropped before the join — at scale raise ``bits`` (or
+    re-run the dropped residue at higher bits) instead of the cap.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -128,6 +131,14 @@ def cosine_pairs(
     b = df.select(
         F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("__sig__")
     )
+    if bucket_cap is not None:
+        ok = (
+            b.groupBy("__sig__")
+            .agg(F.count(F.lit(1)).alias("__bsz__"))
+            .filter(F.col("__bsz__") <= bucket_cap)
+            .select("__sig__")
+        )
+        b = b.join(ok, "__sig__", "left_semi")
     pairs = (
         b.alias("a")
         .join(
