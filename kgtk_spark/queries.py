@@ -829,6 +829,70 @@ def q_cskg_visualgenome(spark, sf_dir):
     return import_visualgenome(scene, attr_syn)
 
 
+@query(
+    "wikidata_rdf_triples",
+    "WITH n AS (SELECT 'Q' || CAST(n_nationkey AS VARCHAR) AS q, "
+    "'Q9' || CAST(n_regionkey AS VARCHAR) AS r, "
+    "lower(n_name) AS nm, "
+    "CAST(n_nationkey * 1000 AS VARCHAR) AS pop, "
+    "'Q' || CAST(n_nationkey AS VARCHAR) || '-P17-1' AS sid17, "
+    "'Q' || CAST(n_nationkey AS VARCHAR) || '-P1082-1' AS sid82 FROM nation), "
+    "t AS ("
+    "SELECT 'wd:' || q AS subject, 'rdf:type' AS predicate, 'wikibase:Item' AS object FROM n "
+    "UNION ALL SELECT DISTINCT 'wd:' || r, 'rdf:type', 'wikibase:Item' FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'rdfs:label', '\"' || nm || '\"@en' FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'schema:name', '\"' || nm || '\"@en' FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'skos:prefLabel', '\"' || nm || '\"@en' FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'p:P17', 'wds:' || q || '-' || sid17 FROM n "
+    "UNION ALL SELECT 'wds:' || q || '-' || sid17, 'rdf:type', 'wikibase:Statement' FROM n "
+    "UNION ALL SELECT 'wds:' || q || '-' || sid17, 'wikibase:rank', 'wikibase:BestRank' FROM n "
+    "UNION ALL SELECT 'wds:' || q || '-' || sid17, 'ps:P17', 'wd:' || r FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'wdt:P17', 'wd:' || r FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'p:P1082', 'wds:' || q || '-' || sid82 FROM n "
+    "UNION ALL SELECT 'wds:' || q || '-' || sid82, 'rdf:type', 'wikibase:Statement' FROM n "
+    "UNION ALL SELECT 'wds:' || q || '-' || sid82, 'wikibase:rank', 'wikibase:BestRank' FROM n "
+    "UNION ALL SELECT 'wds:' || q || '-' || sid82, 'ps:P1082', '\"' || pop || '\"^^xsd:decimal' FROM n "
+    "UNION ALL SELECT 'wd:' || q, 'wdt:P1082', '\"' || pop || '\"^^xsd:decimal' FROM n) "
+    "SELECT DISTINCT subject, predicate, object FROM t",
+)
+def q_wikidata_rdf(spark, sf_dir):
+    """Wikidata RDF TripleGenerator (kgtk/generator.py:156-520) over a
+    nation-derived claim file: one item statement + one quantity
+    statement + a label per nation."""
+    from kgtk_spark.sources import generate_wikidata_triples
+
+    n = load(spark, sf_dir, "nation")
+    q = F.concat(F.lit("Q"), F.col("n_nationkey").cast("string"))
+    r = F.concat(F.lit("Q9"), F.col("n_regionkey").cast("string"))
+    parts = [
+        n.select(
+            q.alias("node1"),
+            F.lit("P17").alias("label"),
+            r.alias("node2"),
+            F.concat(q, F.lit("-P17-1")).alias("id"),
+        ),
+        n.select(
+            q.alias("node1"),
+            F.lit("P1082").alias("label"),
+            (F.col("n_nationkey") * 1000).cast("string").alias("node2"),
+            F.concat(q, F.lit("-P1082-1")).alias("id"),
+        ),
+        n.select(
+            q.alias("node1"),
+            F.lit("label").alias("label"),
+            F.concat(F.lit("'"), F.lower("n_name"), F.lit("'@en")).alias("node2"),
+            F.concat(q, F.lit("-label-1")).alias("id"),
+        ),
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    props = spark.createDataFrame(
+        [("P17", "item"), ("P1082", "quantity")], "node1 string, node2 string"
+    )
+    return generate_wikidata_triples(edges, props)
+
+
 # --- training-data ops over documents/embeddings ------------------------------
 
 @query(
