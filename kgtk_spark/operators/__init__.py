@@ -36,6 +36,7 @@ from kgtk_spark.operators.validate_properties import (
     validate_properties,
 )
 from kgtk_spark.operators.columns import kgtk_every_nth
+from kgtk_spark.operators.value_repair import ValueRepairOptions, repair_values
 
 __all__ = [
     "kgtk_filter",
@@ -68,4 +69,6 @@ __all__ = [
     "validate_properties",
     "PropertyPattern",
     "kgtk_every_nth",
+    "ValueRepairOptions",
+    "repair_values",
 ]

@@ -100,13 +100,16 @@ def kgtk_every_nth(
     df: DataFrame, n: int, order_by: list[str] | None = None
 ) -> DataFrame:
     """Reader option ``every_nth_record`` (kgtk/io/kgtkreader.py:832-877):
-    keep every n-th row in a deterministic total order."""
-    from pyspark.sql import Window
+    keep every n-th row in a deterministic total order.
+
+    The global sort range-partitions; numbering then uses the
+    two-phase zip_with_index (per-partition offsets + local
+    row_number), so no single task ever materializes the whole table —
+    unlike a bare ``Window.orderBy`` row_number.
+    """
+    from kgtk_spark.indexing import zip_with_index
 
     order = order_by or df.columns
-    w = Window.orderBy(*[F.col(c) for c in order])
-    return (
-        df.withColumn("__rn__", F.row_number().over(w))
-        .filter((F.col("__rn__") % n) == 0)
-        .drop("__rn__")
-    )
+    d = df.orderBy(*[F.col(c) for c in order])
+    d = zip_with_index(d, "__rn__")
+    return d.filter(((F.col("__rn__") + 1) % n) == 0).drop("__rn__")

@@ -68,6 +68,71 @@ def test_validate_properties_cardinality(spark):
     assert {r["node1"] for r in reject.collect()} == {"Q1"}
 
 
+def test_validate_properties_patterns_and_reasons(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P856", "http://example.org"),   # ok
+            ("X9", "P856", "http://example.org"),   # node1_pattern fails
+            ("Q2", "P856", "ftp://example.org"),    # node2_pattern fails
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P856", node1_pattern=r"^Q\d+$", node2_pattern=r"^https?://")
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q1"}
+    reasons = {r["node1"]: set(r["reject_reasons"]) for r in reject.collect()}
+    assert reasons["X9"] == {"P856:node1_pattern"}
+    assert reasons["Q2"] == {"P856:node2_pattern"}
+
+
+def test_validate_properties_requires_prohibits(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P569", "^1950"),  # birth; Q1 also has death → ok
+            ("Q1", "P570", "^2000"),
+            ("Q2", "P569", "^1950"),  # birth without required death
+            ("Q3", "P570", "^2000"),  # death prohibited without birth
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P569", requires=["P570"]),
+        PropertyPattern("P570", prohibits=["P9999"], requires=["P569"]),
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {(r["node1"], r["label"]) for r in valid.collect()} == {
+        ("Q1", "P569"),
+        ("Q1", "P570"),
+    }
+    reasons = {(r["node1"], r["label"]): set(r["reject_reasons"]) for r in reject.collect()}
+    assert reasons[("Q2", "P569")] == {"P569:requires:P570"}
+    assert reasons[("Q3", "P570")] == {"P570:requires:P569"}
+
+
+def test_validate_properties_occurs_and_dates(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P18", "a.jpg"),
+            ("Q1", "P18", "b.jpg"),   # maxoccurs=1 violated for Q1
+            ("Q2", "P18", "c.jpg"),
+            ("Q3", "P569", "^1990-05-01T00:00:00/11"),
+            ("Q4", "P569", "^1800-01-01T00:00:00/11"),  # before mindate
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P18", maxoccurs=1),
+        PropertyPattern("P569", mindate="1900-01-01"),
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q2", "Q3"}
+    reasons = {r["node1"]: set(r["reject_reasons"]) for r in reject.collect()}
+    assert reasons["Q1"] == {"P18:maxoccurs"}
+    assert reasons["Q4"] == {"P569:mindate"}
+
+
 def test_build_sentences_and_embedding(spark):
     edges = spark.createDataFrame(
         [
