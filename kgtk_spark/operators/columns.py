@@ -42,19 +42,53 @@ def rename_columns(
 
 
 def reorder_columns(df: DataFrame, order: list[str], trim: bool = False) -> DataFrame:
-    """Reorder with ``...`` meaning "all remaining, original order"."""
-    explicit = [c for c in order if c != "..."]
-    missing = [c for c in explicit if c not in df.columns]
-    if missing:
-        raise ValueError(f"columns not found: {missing}")
-    if "..." in order:
-        rest = [c for c in df.columns if c not in explicit]
-        idx = order.index("...")
-        final = explicit[:idx] + rest + explicit[idx:]
-    else:
-        final = explicit
-        if not trim and len(final) != len(df.columns):
-            raise ValueError("reorder omits columns; pass trim=True to drop them")
+    """Reorder with ``...`` ("all remaining, original order") and the
+    ``..`` range operator ("all columns between the two neighbors",
+    kgtk/cli/reorder_columns.py:131-190).
+
+    ``["id", "node1", "..", "node2"]`` expands the range to every
+    column between node1 and node2 in the input header. A descending
+    range expands in reverse header order (the reference's descending
+    loop is inert — a bug; the documented intent is implemented here).
+    """
+    colmap = {c: i for i, c in enumerate(df.columns)}
+    final: list[str] = []
+    saw_ranger = False
+    ellipsis_at: int | None = None
+    for name in order:
+        if name == "...":
+            if ellipsis_at is not None:
+                raise ValueError("'...' may appear only once")
+            if saw_ranger:
+                raise ValueError("'...' may not follow '..'")
+            ellipsis_at = len(final)
+            continue
+        if name == "..":
+            if not final:
+                raise ValueError("'..' needs a preceding column name")
+            saw_ranger = True
+            continue
+        if name not in colmap:
+            raise ValueError(f"columns not found: ['{name}']")
+        if name in final:
+            raise ValueError(f"column '{name}' duplicated in the list")
+        if saw_ranger:
+            saw_ranger = False
+            lo, hi = colmap[final[-1]], colmap[name]
+            step = 1 if hi > lo else -1
+            for idx in range(lo + step, hi, step):
+                mid = df.columns[idx]
+                if mid in final:
+                    raise ValueError(f"column '{mid}' duplicated in the range")
+                final.append(mid)
+        final.append(name)
+    if saw_ranger:
+        raise ValueError("'..' may not end the list")
+    rest = [c for c in df.columns if c not in final]
+    if ellipsis_at is not None:
+        final = final[:ellipsis_at] + rest + final[ellipsis_at:]
+    elif rest and not trim:
+        raise ValueError("reorder omits columns; pass trim=True to drop them")
     return df.select(*final)
 
 

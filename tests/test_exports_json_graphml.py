@@ -1,0 +1,87 @@
+"""GraphML export roundtrip, MediaWiki JSON generator, reorder-columns
+range operator, and ISO-639 validation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kgtk_spark.languages import validate_lang
+from kgtk_spark.operators.columns import reorder_columns
+from kgtk_spark.sources.graphml import export_graphml, read_graphml_edges
+from kgtk_spark.sources.wikidata_json import generate_wikidata_json
+
+
+def test_graphml_roundtrip(spark, tmp_path_factory):
+    edges = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "likes<x>", 'c"q"'), ("a", "knows", "c\"q\"")],
+        "node1 string, label string, node2 string",
+    )
+    path = str(tmp_path_factory.mktemp("gml") / "g.graphml")
+    export_graphml(edges, path)
+    back = set(read_graphml_edges(path))
+    assert back == {("a", "knows", "b"), ("b", "likes<x>", 'c"q"'), ("a", "knows", 'c"q"')}
+
+
+def test_wikidata_json_generator(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "label", "'Earth'@en", "Q1-label-1"),
+            ("Q1", "aliases", "'the world'@en", "Q1-alias-1"),
+            ("Q1", "P31", "Q634", "Q1-P31-1"),
+            ("Q1", "P569", "^2020-06-04T00:00:00Z/11", "Q1-P569-1"),
+            ("Q1", "P1082", "12[10,14]Q11573", "Q1-P1082-1"),
+            ("Q1-P31-1", "P585", "^1999-01-01T00:00:00Z/9", "Q1-P31-1-q1"),
+        ],
+        "node1 string, label string, node2 string, id string",
+    )
+    props = spark.createDataFrame(
+        [("P31", "item"), ("P569", "time"), ("P1082", "quantity"), ("P585", "time")],
+        "node1 string, node2 string",
+    )
+    out = {r["id"]: json.loads(r["doc"]) for r in generate_wikidata_json(edges, props).collect()}
+    d = out["Q1"]
+    assert d["type"] == "item" and d["id"] == "Q1" and d["title"] == "Q1"
+    # reference quirk: 'languange' [sic] (generator.py:714)
+    assert d["labels"]["en"] == {"languange": "en", "value": "Earth"}
+    assert d["aliases"]["en"] == [{"en": {"languange": "en", "value": "the world"}}]
+    p31 = d["claims"]["P31"][0]
+    assert p31["mainsnak"]["datavalue"]["value"]["id"] == "Q634"
+    assert p31["rank"] == "normal"
+    # qualifier attached to the P31 statement via its edge id
+    assert p31["qualifiers"]["P585"][0]["datavalue"]["value"]["precision"] == 9
+    assert p31["qualifiers-order"] == ["P585"]
+    t = d["claims"]["P569"][0]["mainsnak"]["datavalue"]["value"]
+    assert t["time"] == "2020-06-04T00:00:00Z" and t["precision"] == 11
+    qv = d["claims"]["P1082"][0]["mainsnak"]["datavalue"]["value"]
+    assert qv["amount"] == "12"
+    assert qv["unit"] == "http://www.wikidata.org/entity/Q11573"
+    assert qv["lowerBound"] == "10" and qv["UpperBound"] == "14"  # [sic]
+    # the qualifier edge's node1 is not an entity document
+    assert "Q1-P31-1" not in out
+
+
+def test_reorder_columns_range(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4, 5)], "a int, b int, c int, d int, e int")
+    assert reorder_columns(df, ["e", "a", "..", "d"]).columns == ["e", "a", "b", "c", "d"]
+    assert reorder_columns(df, ["d", "..", "a", "..."]).columns == ["d", "c", "b", "a", "e"]
+    with pytest.raises(ValueError):
+        reorder_columns(df, ["..", "a"])
+    with pytest.raises(ValueError):
+        reorder_columns(df, ["a", ".."])
+    with pytest.raises(ValueError):
+        reorder_columns(df, ["a", "..", "c", "b"])  # b already in range
+
+
+def test_language_codes():
+    assert validate_lang("en")
+    assert validate_lang("EN-GB")
+    assert validate_lang("deu")
+    assert validate_lang("nah")  # ISO 639-5 collective
+    assert validate_lang("mo")  # retired, in the default additional list
+    assert not validate_lang("xx")
+    assert not validate_lang("qqq")
+    # custom additional list replaces the default table
+    assert validate_lang("xx", additional_language_codes=["xx"])
+    assert not validate_lang("mo", additional_language_codes=["xx"])
