@@ -126,18 +126,19 @@ def connected_components(
         )
         named = assign.join(names, "component").select("node", "cluster")
     elif cluster_name_method == "numbered":
-        from pyspark.sql import Window
+        # Deterministic numbering in component order without an
+        # unpartitioned window: global sort (range partitioner) + the
+        # two-phase zip_with_index, so numbering millions of components
+        # never funnels through one task.
+        from kgtk_spark.indexing import zip_with_index
 
-        names = (
-            assign.select("component")
-            .distinct()
-            .withColumn(
-                "cluster",
-                F.concat(
-                    F.lit(cluster_name_prefix),
-                    (F.row_number().over(Window.orderBy("component")) - 1).cast("string"),
-                ),
-            )
+        names = zip_with_index(
+            assign.select("component").distinct().orderBy("component"), "__cn__"
+        ).select(
+            "component",
+            F.concat(F.lit(cluster_name_prefix), F.col("__cn__").cast("string")).alias(
+                "cluster"
+            ),
         )
         named = assign.join(names, "component").select("node", "cluster")
     else:

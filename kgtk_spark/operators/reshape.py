@@ -80,15 +80,36 @@ def kgtk_implode(
     column: str = "node2",
     prefix: str = "node2;kgtk:",
     drop_field_columns: bool = True,
-) -> DataFrame:
+    escape_text: bool = False,
+    with_reject: bool = False,
+):
     """Rebuild a KGTK value from data_type + field columns.
 
     Per-type imploder dispatch (kgtk/reshape/kgtkimplode.py:485-536) as a
-    single ``when`` chain — all JVM-side except string escaping, which
-    reuses the value kernel's translate table via format strings.
+    single ``when`` chain — all JVM-side.
+
+    ``escape_text=True`` treats the text/language-text fields as RAW
+    (unescaped) and applies the KGTK stringify escapes before quoting
+    (the reference imploder's convention); the default keeps the
+    explode→implode round-trip convention where text is already
+    escaped. ``with_reject=True`` returns (good, reject): rows with an
+    unknown data_type or a missing required field for their type go to
+    the reject side, mirroring the reference's reject file.
     """
     def fld(name):
-        return F.col(prefix + name)
+        # absent field columns read as null (partial explodes are fine)
+        col = prefix + name
+        return F.col(col) if col in df.columns else F.lit(None).cast("string")
+
+    def esc(c):
+        if not escape_text:
+            return F.coalesce(c, F.lit(""))
+        from kgtk_spark.sources.cskg import _STRINGIFY_ESCAPES
+
+        out = F.coalesce(c, F.lit(""))
+        for raw, escd in _STRINGIFY_ESCAPES:
+            out = F.replace(out, F.lit(raw), F.lit(escd))
+        return out
 
     dt = fld("data_type")
     # number formatting: keep integral values integral for round-trip.
@@ -107,10 +128,10 @@ def kgtk_implode(
         F.coalesce(fld("units_node"), F.lit("")),
     )
 
-    string_v = F.concat(F.lit('"'), F.coalesce(fld("text"), F.lit("")), F.lit('"'))
+    string_v = F.concat(F.lit('"'), esc(fld("text")), F.lit('"'))
     lq_v = F.concat(
         F.lit("'"),
-        F.coalesce(fld("text"), F.lit("")),
+        esc(fld("text")),
         F.lit("'@"),
         F.coalesce(fld("language"), F.lit("")),
         F.coalesce(fld("language_suffix"), F.lit("")),
@@ -144,10 +165,42 @@ def kgtk_implode(
         .otherwise(F.lit(""))
     )
 
+    known = [
+        "number",
+        "quantity",
+        "string",
+        "language_qualified_string",
+        "location_coordinates",
+        "date_and_times",
+        "boolean",
+        "symbol",
+    ]
+    missing_required = (
+        ((dt == "number") & fld("number").isNull())
+        | ((dt == "quantity") & fld("number").isNull())
+        | ((dt == "string") & fld("text").isNull())
+        | (
+            (dt == "language_qualified_string")
+            & (fld("text").isNull() | fld("language").isNull() | (fld("language") == ""))
+        )
+        | (
+            (dt == "location_coordinates")
+            & (fld("latitude").isNull() | fld("longitude").isNull())
+        )
+        | ((dt == "date_and_times") & fld("date_and_times").isNull())
+        | ((dt == "symbol") & fld("symbol").isNull())
+    )
+    bad = dt.isNull() | ~dt.isin(known) | missing_required
+
     out = df.withColumn(column, value)
+    field_cols = [c for c in df.columns if c.startswith(prefix)]
+    if not with_reject:
+        return out.drop(*field_cols) if drop_field_columns else out
+    good = out.filter(~bad)
+    reject = df.filter(bad)
     if drop_field_columns:
-        out = out.drop(*[c for c in df.columns if c.startswith(prefix)])
-    return out
+        good = good.drop(*field_cols)
+    return good, reject
 
 
 def normalize_nodes(

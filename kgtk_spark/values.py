@@ -274,6 +274,11 @@ def parse_fields(value: str, lax_strings: bool = True) -> dict:
             out["decoded_text"] = unescape(m.group("text"))
             out["language"] = m.group("lang").lower()
             out["language_suffix"] = m.group("suffix")
+            # Real ISO-639 membership, not just the 2-3 letter shape
+            # (kgtk/value/languagevalidator.py via kgtkvalue.py:344).
+            from kgtk_spark.languages import validate_lang
+
+            out["valid"] = validate_lang(out["language"])
         return out
     if dt == "location_coordinates":
         m = LOCATION_RE.match(value)

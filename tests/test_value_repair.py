@@ -55,3 +55,42 @@ def test_modulo_repair_lon(spark):
     opts = ValueRepairOptions(modulo_repair_lon=True)
     got = _run(spark, ["@10.0/190.0", "@10.0/-190.0"], opts)
     assert got == ["@0010.000000/-170.000000", "@0010.000000/0170.000000"]
+
+
+def test_lq_string_language_list_validation(spark):
+    from kgtk_spark.values import parse_fields
+
+    assert parse_fields("'hello'@en")["valid"]
+    assert parse_fields("'hallo'@de-AT")["valid"]
+    assert parse_fields("'x'@qx")["valid"] is False  # shape ok, not ISO-639
+
+
+def test_implode_reject_and_escape(spark):
+    from kgtk_spark.operators.reshape import kgtk_implode
+
+    df = spark.createDataFrame(
+        [
+            ("number", 4.5, None),
+            ("string", None, 'say "hi"'),
+            ("bogus_type", None, None),
+            ("number", None, None),  # missing required field
+        ],
+        '`node2;kgtk:data_type` string, `node2;kgtk:number` double, `node2;kgtk:text` string',
+    )
+    good, reject = kgtk_implode(df, with_reject=True, escape_text=True)
+    vals = sorted(r["node2"] for r in good.collect())
+    assert vals == ['"say \\"hi\\""', "4.5"]
+    rej = reject.collect()
+    assert len(rej) == 2
+
+
+def test_connected_components_numbered(spark):
+    from kgtk_spark.graph.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "e", "b"), ("c", "e", "d"), ("x", "e", "y")],
+        "node1 string, label string, node2 string",
+    )
+    out = connected_components(edges, cluster_name_method="numbered")
+    clusters = {r["node2"] for r in out.collect()}
+    assert clusters == {"CLUS0", "CLUS1", "CLUS2"}
