@@ -1076,6 +1076,94 @@ def q_minhash(spark, sf_dir):
     return minhash_near_dup(docs, jaccard_threshold=0.8, verify="exact")
 
 
+@query(
+    "kgtk_every_nth",
+    f"WITH {EDGES_CTE}, o AS (SELECT node1, label, node2, "
+    "row_number() OVER (ORDER BY node1, label, node2) AS rn FROM edges) "
+    "SELECT node1, label, node2 FROM o WHERE rn % 7 = 0",
+)
+def q_every_nth(spark, sf_dir):
+    """every-nth sampling in a deterministic total order — the scalable
+    zip_with_index formulation (no single-task window)."""
+    from kgtk_spark.operators import kgtk_every_nth
+
+    return kgtk_every_nth(
+        tpch_edges(spark, sf_dir), 7, order_by=["node1", "label", "node2"]
+    )
+
+
+@query(
+    "graph_paths",
+    "WITH RECURSIVE e2 AS ("
+    "  SELECT 'ROOT' AS f, 'R' || CAST(r_regionkey AS VARCHAR) AS t, "
+    "         'ROOT-R' || CAST(r_regionkey AS VARCHAR) AS eid FROM region "
+    "  UNION ALL SELECT 'R' || CAST(n_regionkey AS VARCHAR), "
+    "         'N' || CAST(n_nationkey AS VARCHAR), "
+    "         'R' || CAST(n_regionkey AS VARCHAR) || '-N' || CAST(n_nationkey AS VARCHAR) "
+    "  FROM nation), "
+    "walk(endn, path, seen, hops) AS ("
+    "  SELECT 'ROOT', CAST([] AS VARCHAR[]), ['ROOT'], 0 "
+    "  UNION ALL SELECT e2.t, list_append(w.path, e2.eid), list_append(w.seen, e2.t), "
+    "         w.hops + 1 "
+    "  FROM walk w JOIN e2 ON e2.f = w.endn "
+    "  WHERE w.hops < 2 AND NOT list_contains(w.seen, e2.t)), "
+    "complete AS (SELECT DISTINCT path FROM walk WHERE endn LIKE 'N%' AND hops >= 1), "
+    "numbered AS (SELECT path, row_number() OVER (ORDER BY path) - 1 AS pid FROM complete) "
+    "SELECT 'p' || CAST(pid AS VARCHAR) AS node1, CAST(i - 1 AS VARCHAR) AS label, "
+    "path[i] AS node2 "
+    "FROM numbered, LATERAL unnest(generate_series(1, len(path))) AS s(i)",
+)
+def q_paths(spark, sf_dir):
+    """`kgtk paths` ≤ 2 hops over a ROOT→region→nation graph
+    (kgtk/cli/paths.py:96-114) — recursive-CTE path-walk oracle."""
+    from kgtk_spark.graph.reachable import paths
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    e1 = r.select(
+        F.lit("ROOT").alias("node1"),
+        F.lit("to").alias("label"),
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("node2"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("node1"),
+        F.lit("to").alias("label"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node2"),
+    )
+    targets = [
+        f"N{row['n_nationkey']}" for row in n.select("n_nationkey").collect()
+    ]
+    return paths(e1.unionByName(e2), ["ROOT"], targets, max_hops=2)
+
+
+@query(
+    "doc_repetition",
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, i, t[i] AS w FROM toks, "
+    "  LATERAL unnest(generate_series(1, len(t))) AS s(i)), "
+    "wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+    "words AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_w, "
+    "  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_w FROM wc GROUP BY doc_id), "
+    "bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g FROM tok a "
+    "  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+    "bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2), "
+    "bigrams AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM bgc GROUP BY doc_id) "
+    "SELECT w.doc_id, w.n_tokens, "
+    "ROUND(CAST(top_w AS DOUBLE) / n_tokens, 6) AS top_word_frac, "
+    "ROUND(CAST(dup_w AS DOUBLE) / n_tokens, 6) AS dup_word_frac, "
+    "ROUND(CAST(top_bg AS DOUBLE) / n_bg, 6) AS top_bigram_frac "
+    "FROM words w JOIN bigrams b ON w.doc_id = b.doc_id WHERE w.n_tokens >= 2",
+)
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (top-word / duplicate-word /
+    top-bigram token mass) over the documents table."""
+    from kgtk_spark.textops.quality import repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
 # --- events (batch window aggregation) ----------------------------------------
 
 @query(

@@ -95,3 +95,56 @@ def doc_fingerprint(
     lowercased text — the cross-engine-stable normalize+hash."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns (id, n_tokens, top_word_frac, dup_word_frac,
+    top_bigram_frac): the token mass of the most frequent word, of all
+    words occurring more than once, and of the most frequent bigram —
+    the standard repetitious-text filters for web training corpora
+    (Rae et al. 2021 "Scaling Language Models", table A1).
+
+    Shape: explode tokens → two hash aggregations; bigrams come from a
+    positional self-join (JVM codegen; no per-gram higher-order
+    function, which measures ~4× slower). Docs with fewer than 2
+    tokens are excluded (no bigram denominator).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "w")
+    )
+    words = (
+        t.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_w"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_w"),
+        )
+    )
+    ta = t.select(F.col(id_col), F.col("pos"), F.col("w").alias("w1"))
+    tb = t.select(F.col(id_col), (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
+    bigrams = (
+        ta.join(tb, [id_col, "pos"])
+        .select(id_col, F.concat_ws(" ", "w1", "w2").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    return (
+        words.join(bigrams, id_col)
+        .filter(F.col("n_tokens") >= 2)
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("top_w") / F.col("n_tokens"), 6).alias("top_word_frac"),
+            F.round(F.col("dup_w") / F.col("n_tokens"), 6).alias("dup_word_frac"),
+            F.round(F.col("top_bg") / F.col("n_bg"), 6).alias("top_bigram_frac"),
+        )
+    )

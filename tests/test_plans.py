@@ -77,3 +77,55 @@ def test_linking_is_broadcast_and_shuffle_free(spark):
     # the mention stream itself must not shuffle (only the tiny dict agg may)
     stream_section = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning(url" not in plan, plan
+
+
+def test_conceptnet_import_no_python_in_plan(spark, parquet_edges):
+    from kgtk_spark.sources import import_conceptnet
+
+    raw = spark.createDataFrame(
+        [("a", "/r/IsA", "/c/en/cat", "/c/en/animal", "{}")],
+        "assertion string, rel string, subj string, obj string, metadata string",
+    )
+    plan = plan_of(import_conceptnet(raw))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_wordnet_import_broadcasts_label_map(spark):
+    from kgtk_spark.sources import import_wordnet
+
+    syn = spark.createDataFrame(
+        [("a.n.01", ["a"], ["b.n.01"], [], [], []), ("b.n.01", ["b"], [], [], [], [])],
+        "name string, lemmas array<string>, hypernyms array<string>, "
+        "member_holonyms array<string>, part_holonyms array<string>, "
+        "substance_meronyms array<string>",
+    )
+    plan = plan_of(import_wordnet(syn))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_wikidata_rdf_no_python_and_broadcast_props(spark):
+    from kgtk_spark.sources import generate_wikidata_triples
+
+    edges = spark.createDataFrame(
+        [("Q1", "P31", "Q2", "Q1-P31-1")],
+        "node1 string, label string, node2 string, id string",
+    )
+    props = spark.createDataFrame([("P31", "item")], "node1 string, node2 string")
+    plan = plan_of(generate_wikidata_triples(edges, props))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_signals_scan_prunes_columns(spark, tmp_path_factory):
+    from kgtk_spark.textops.quality import repetition_signals
+
+    path = str(tmp_path_factory.mktemp("docs") / "d.parquet")
+    spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(path)
+    plan = plan_of(repetition_signals(spark.read.parquet(path)))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # only doc_id + text are read, not lang/source/n_chars
+    assert read and "lang" not in read[0] and "n_chars" not in read[0], read

@@ -161,6 +161,27 @@ def test_cosine_pairs_finds_self_similarity(spark):
     assert (1, 2) in out and (1, 3) not in out
 
 
+def test_repetition_signals(spark):
+    from kgtk_spark.textops.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word repeated 4×
+            (2, "all words here are distinct"),  # no repetition
+            (3, "x"),                            # too short → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_word_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0  # "spam spam" 3× of 3 bigrams
+    assert out[2]["top_word_frac"] == 0.2
+    assert out[2]["dup_word_frac"] == 0.0
+    assert 3 not in out
+
+
 def test_token_count_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "hello world foo bar baz quux longer"), (2, ""), (3, "a, b, c, d!!! ..,;;;")],
