@@ -85,3 +85,44 @@ def test_language_codes():
     # custom additional list replaces the default table
     assert validate_lang("xx", additional_language_codes=["xx"])
     assert not validate_lang("mo", additional_language_codes=["xx"])
+
+
+def test_kgtk_json_lines_formats(spark):
+    from kgtk_spark.sources.json_writer import kgtk_json_lines
+
+    df = spark.createDataFrame(
+        [("Q1", "P1082", "42", '"say \\"hi\\""', "True", ""),
+         ("Q2", "P31", "+007", "'bonjour'@fr", "False", "x")],
+        "node1 string, label string, node2 string, s string, b string, e string",
+    )
+    rows = [json.loads(r["line"]) for r in kgtk_json_lines(df, "jsonl").collect()]
+    byid = {r[0]: r for r in rows}
+    # ints normalized, strings unstringified (language dropped), bools real
+    assert byid["Q1"][2] == 42 and byid["Q2"][2] == 7
+    assert byid["Q1"][3] == 'say "hi"'
+    assert byid["Q2"][3] == "bonjour"
+    assert byid["Q1"][4] is True and byid["Q2"][4] is False
+
+    maps = [json.loads(r["line"]) for r in kgtk_json_lines(df, "jsonl-map").collect()]
+    m = {r["node1"]: r for r in maps}
+    assert m["Q1"]["e"] == "" and m["Q1"]["node2"] == 42
+
+    compact = [
+        json.loads(r["line"])
+        for r in kgtk_json_lines(df, "jsonl-map-compact").collect()
+    ]
+    mc = {r["node1"]: r for r in compact}
+    assert "e" not in mc["Q1"] and mc["Q2"]["e"] == "x"  # empties dropped
+
+
+def test_write_kgtk_json_document(spark, tmp_path_factory):
+    from kgtk_spark.sources.json_writer import write_kgtk_json
+
+    df = spark.createDataFrame([("a", "p", "1")], "node1 string, label string, node2 string")
+    path = str(tmp_path_factory.mktemp("json") / "out.json")
+    write_kgtk_json(df, path, fmt="json")
+    text = open(path).read()
+    # bracketed array document with a header row and trailing commas
+    assert text.startswith("[\n")
+    assert '["node1","label","node2"],' in text
+    assert '["a","p",1],' in text
