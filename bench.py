@@ -34,10 +34,14 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "doc_exact_dedup",
     "doc_minhash_clusters",
+    "doc_simhash",
+    "doc_repetition",
     "doc_language_id",
     "doc_fingerprint",
     "ann_cosine_topk",
     "events_daily",
+    "cskg_conceptnet",
+    "wikidata_rdf_triples",
 ]
 
 
