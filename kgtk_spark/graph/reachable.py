@@ -125,11 +125,15 @@ def paths(
     if complete is None:
         return spark.createDataFrame([], "node1 string, label string, node2 string")
 
-    from pyspark.sql import Window
+    # Deterministic path numbering in sorted-path order via the
+    # two-phase zip_with_index (no unpartitioned window).
+    from kgtk_spark.indexing import zip_with_index
 
-    numbered = complete.select("path").distinct().withColumn(
-        "path_id",
-        F.concat(F.lit("p"), (F.row_number().over(Window.orderBy("path")) - 1).cast("string")),
+    numbered = zip_with_index(
+        complete.select("path").distinct().orderBy("path"), "__pn__"
+    ).select(
+        "path",
+        F.concat(F.lit("p"), F.col("__pn__").cast("string")).alias("path_id"),
     )
     return (
         numbered.select("path_id", F.posexplode("path").alias("hop", "edge_id"))

@@ -82,9 +82,15 @@ def add_id(
             "-", F.col(n1), F.col(lb), F.col(n2), pad(F.row_number().over(w) - 1, num_width)
         )
     else:  # prefix###
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        # Deterministic global counter without an unpartitioned window:
+        # total sort (range partitioner) + two-phase zip_with_index.
+        from kgtk_spark.indexing import zip_with_index
+
+        df = zip_with_index(
+            df.orderBy(*[F.col(c) for c in order_cols]), "__gid__"
+        )
         new_id = F.concat(
-            F.lit(prefix), pad(F.row_number().over(w) + (initial_id - 1), prefix_num_width)
+            F.lit(prefix), pad(F.col("__gid__") + initial_id, prefix_num_width)
         )
 
     if has_old and not overwrite:
@@ -93,9 +99,12 @@ def add_id(
         ).otherwise(new_id)
 
     out = df.withColumn(id_column, new_id)
+    if "__gid__" in out.columns:
+        out = out.drop("__gid__")
+    cols = [c for c in df.columns if c != "__gid__"]
     if not has_old:
         # KGTK puts id first when adding it.
-        out = out.select(id_column, *[c for c in df.columns])
+        out = out.select(id_column, *cols)
     return out
 
 
