@@ -18,10 +18,13 @@ from kgtk_spark.textops.dedup import (
 from kgtk_spark.textops.similarity import (
     brute_force_topk,
     cosine_pairs,
+    ivf_build,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from kgtk_spark.textops.quality import (
     doc_fingerprint,
+    repetition_signals,
     language_id,
     quality_score,
     token_count,
@@ -41,11 +44,14 @@ __all__ = [
     "ngram_jaccard_pairs",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "ivf_build",
+    "ivf_topk",
     "cosine_pairs",
     "language_id",
     "quality_score",
     "token_count",
     "doc_fingerprint",
+    "repetition_signals",
     "salted_join",
     "attach_binary_payload",
     "extract_features_stub",

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -157,3 +158,76 @@ def cosine_pairs(
         )
     )
     return pairs.filter(F.col("score") >= threshold)
+
+
+def ivf_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+):
+    """Build an IVF (inverted-file) index: k-means coarse quantizer +
+    per-vector list assignment.
+
+    Returns (assigned_df, centroids) where ``assigned_df`` carries a
+    ``__list__`` column — at scale, write it out partitioned by
+    ``__list__`` so a probe only scans nprobe/n_lists of the corpus.
+    The quantizer trains on a sample (Spark ML KMeans, distributed);
+    assignment is a broadcast argmin over the centroid matrix, JVM+
+    vectorized (one pandas UDF of pure numpy matrix math).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat__")
+    model = km.fit(
+        train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat__"))
+    )
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # L2 argmin == argmax(2·x·c − |c|²); one numpy matmul per batch.
+    c_t = centroids.T.copy()
+    c_norm = (centroids**2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        scores = 2.0 * (m @ c_t) - c_norm[None, :]
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    assigned = df.withColumn("__list__", assign_udf(F.col(vec_col)))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over an IVF index: scan only the
+    ``nprobe`` lists whose centroids are nearest the query — at
+    n_lists=1024 / nprobe=16 that is ~1.6% of a 10^10-vector corpus,
+    and with ``__list__``-partitioned storage the pruning happens at
+    the file-listing level (partition pruning, no scan)."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:nprobe]]
+    cand = assigned.filter(F.col("__list__").isin(probe))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_to_literal(F.col(vec_col), list(query)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -126,3 +126,27 @@ def test_write_kgtk_json_document(spark, tmp_path_factory):
     assert text.startswith("[\n")
     assert '["node1","label","node2"],' in text
     assert '["a","p",1],' in text
+
+
+def test_tsv_csv_variants(spark):
+    from kgtk_spark.sources.tsv_writer import format_lines
+
+    df = spark.createDataFrame(
+        [("Q1", '"say \\"hi\\" a\\|b"', "^2020-01-01", "x,y")],
+        "node1 string, s string, d string, sym string",
+    )
+
+    def line(fmt):
+        return format_lines(df, fmt).collect()[0]["line"]
+
+    assert line("kgtk") == 'Q1\t"say \\"hi\\" a\\|b"\t^2020-01-01\tx,y'
+    # tsv: quotes kept, \| unescaped, datetime sigil stripped
+    assert line("tsv") == 'Q1\t"say \\"hi\\" a|b"\t2020-01-01\tx,y'
+    # tsv-unquoted: unstringified raw text
+    assert line("tsv-unquoted") == 'Q1\tsay "hi" a|b\t2020-01-01\tx,y'
+    # tsv-unquoted-ep: pipes stay escaped
+    assert line("tsv-unquoted-ep") == 'Q1\tsay "hi" a\\|b\t2020-01-01\tx,y'
+    # csvlike: CSV-style doubled quotes around the unstringified text
+    assert line("tsv-csvlike") == 'Q1\t"say ""hi"" a\\|b"\t2020-01-01\tx,y'
+    # csv: comma separator, bare symbol with comma gets quoted
+    assert line("csv") == 'Q1,"say ""hi"" a|b",2020-01-01,"x,y"'

@@ -241,3 +241,22 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         _decode_real(b"x")
+
+
+def test_ivf_topk_overlaps_exact(spark, emb):
+    from kgtk_spark.textops.similarity import ivf_build, ivf_topk
+
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    assigned, centroids = ivf_build(emb, n_lists=8)
+    assigned = assigned.cache()
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"] for r in ivf_topk(assigned, centroids, q, k=10, nprobe=3).collect()
+    }
+    assert 0 in approx  # the query vector itself lives in a probed list
+    assert len(exact & approx) >= 5  # good recall at nprobe=3/8
+    # full probe == exact
+    full = {
+        r["vec_id"] for r in ivf_topk(assigned, centroids, q, k=10, nprobe=8).collect()
+    }
+    assert full == exact
