@@ -927,7 +927,9 @@ def q_fingerprint(spark, sf_dir):
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
-def _langid_oracle() -> str:
+def _langid_ctes() -> str:
+    """CTE block ending in ``lang(doc_id, lang_pred)`` — the SQL twin of
+    textops.quality.language_id, reusable by composed oracles."""
     from kgtk_spark.textops.quality import LANG_MARKERS
 
     def cnt(needle: str) -> str:
@@ -950,10 +952,14 @@ def _langid_oracle() -> str:
     case += "END"
     scores_sql = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in sorted(score_exprs.items()))
     return (
-        "WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents), "
-        f"scored AS (SELECT doc_id, {scores_sql} FROM padded) "
-        f"SELECT doc_id, {case} AS lang_pred FROM scored"
+        "padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents), "
+        f"scored AS (SELECT doc_id, {scores_sql} FROM padded), "
+        f"lang AS (SELECT doc_id, {case} AS lang_pred FROM scored)"
     )
+
+
+def _langid_oracle() -> str:
+    return f"WITH {_langid_ctes()} SELECT doc_id, lang_pred FROM lang"
 
 
 @query("doc_language_id", _langid_oracle())
@@ -1162,6 +1168,66 @@ def q_repetition(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return repetition_signals(docs)
+
+
+def _clean_corpus_oracle() -> str:
+    """Composed twin of textops.corpus.clean_corpus: quality gates →
+    exact dedup → near-dup CC removal, replayed in the SAME order."""
+    punct = " + ".join(
+        f"(length(text) - length(replace(text, '{ch}', '')))" for ch in ".,;:!?"
+    )
+    return (
+        "WITH RECURSIVE "
+        + _langid_ctes()
+        + ", "
+        "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "tok AS (SELECT doc_id, i, t[i] AS w FROM toks, "
+        "  LATERAL unnest(generate_series(1, len(t))) AS s(i)), "
+        "wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+        "words AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_w "
+        "  FROM wc GROUP BY doc_id), "
+        f"punct AS (SELECT doc_id, ROUND(({punct}) / CAST(length(text) AS DOUBLE), 6) AS pr "
+        "  FROM documents WHERE length(text) > 0), "
+        "gated AS (SELECT d.doc_id, d.text, w.n_tokens, l.lang_pred "
+        "  FROM documents d "
+        "  JOIN lang l ON l.doc_id = d.doc_id "
+        "  JOIN words w ON w.doc_id = d.doc_id "
+        "  JOIN punct p ON p.doc_id = d.doc_id "
+        "  WHERE w.n_tokens >= 5 AND p.pr <= 0.2 "
+        "    AND ROUND(CAST(w.top_w AS DOUBLE) / w.n_tokens, 6) <= 0.5 "
+        "    AND l.lang_pred IN ('en')), "
+        "exact AS (SELECT g.* FROM gated g "
+        "  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text) k "
+        "  ON g.text = k.text AND g.doc_id = k.doc_id), "
+        "grams AS (SELECT DISTINCT t.doc_id, "
+        "  CASE WHEN len(t.t) >= 3 THEN t.t[i] || ' ' || t.t[i+1] || ' ' || t.t[i+2] "
+        "       ELSE array_to_string(t.t, ' ') END AS g "
+        "  FROM toks t JOIN exact e ON e.doc_id = t.doc_id, "
+        "  LATERAL unnest(generate_series(1, greatest(len(t.t) - 2, 1))) AS s(i)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id), "
+        "common AS (SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS c FROM grams a "
+        "  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT u, v FROM common "
+        "  JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
+        "  WHERE CAST(c AS DOUBLE) / (su.sz + sv.sz - c) >= 0.8), "
+        "und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs), "
+        "reach(src, dst) AS (SELECT u, u FROM und "
+        "  UNION SELECT r.src, und.v FROM reach r JOIN und ON r.dst = und.u), "
+        "comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src) "
+        "SELECT e.doc_id, e.n_tokens, e.lang_pred FROM exact e "
+        "LEFT JOIN comp c ON c.doc_id = e.doc_id "
+        "WHERE COALESCE(c.cluster_id, e.doc_id) = e.doc_id"
+    )
+
+
+@query("doc_clean_corpus", _clean_corpus_oracle())
+def q_clean_corpus(spark, sf_dir):
+    """The composed training-corpus cleaning pipeline: quality gates →
+    exact dedup → MinHash near-dup removal, value-checked end to end."""
+    from kgtk_spark.textops.corpus import clean_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    return clean_corpus(docs)
 
 
 # --- events (batch window aggregation) ----------------------------------------

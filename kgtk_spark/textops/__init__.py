@@ -29,6 +29,7 @@ from kgtk_spark.textops.quality import (
     quality_score,
     token_count,
 )
+from kgtk_spark.textops.corpus import clean_corpus
 from kgtk_spark.textops.skew import salted_join
 from kgtk_spark.textops.multimodal import (
     attach_binary_payload,
@@ -53,6 +54,7 @@ __all__ = [
     "doc_fingerprint",
     "repetition_signals",
     "salted_join",
+    "clean_corpus",
     "attach_binary_payload",
     "extract_features_stub",
 ]

@@ -260,3 +260,22 @@ def test_ivf_topk_overlaps_exact(spark, emb):
         r["vec_id"] for r in ivf_topk(assigned, centroids, q, k=10, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_clean_corpus_composition(spark):
+    from kgtk_spark.textops import clean_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),                                   # survives
+        (2, base),                                   # exact dup of 1 → dropped
+        (3, base.replace("today", "tomorrow")),      # near dup of 1 → dropped
+        (4, "der hund und die katze und der vogel sind hier"),  # German → dropped
+        (5, "spam spam spam spam spam spam"),        # repetition → dropped
+        (6, "too short"),                            # < 5 tokens → dropped
+        (7, "this is a different document and the content is about the spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in clean_corpus(df, jaccard_threshold=0.5).collect()}
+    assert set(out) == {1, 7}
+    assert out[1]["lang_pred"] == "en"
