@@ -33,7 +33,10 @@ from kgtk_spark.textops.corpus import clean_corpus
 from kgtk_spark.textops.skew import salted_join
 from kgtk_spark.textops.multimodal import (
     attach_binary_payload,
+    audio_features,
     extract_features_stub,
+    resize_image_stub,
+    sample_video_frames,
 )
 
 __all__ = [
@@ -57,4 +60,7 @@ __all__ = [
     "clean_corpus",
     "attach_binary_payload",
     "extract_features_stub",
+    "audio_features",
+    "sample_video_frames",
+    "resize_image_stub",
 ]

@@ -98,3 +98,170 @@ def extract_features_stub(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio feature extraction for WAV/PCM payloads.
+
+    Unlike the image/video decoders (codec libs absent from this
+    container), PCM WAV needs only the stdlib ``wave`` reader + numpy:
+    the decode, RMS and zero-crossing computations here are the actual
+    production transforms, Arrow-batched through mapInPandas. Non-WAV
+    payloads yield a null-feature row rather than failing the batch.
+    """
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(int(i))
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                    if nch > 1:
+                        x = x.reshape(-1, nch).mean(axis=1)
+                    rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+                    zc = (
+                        float((np.diff(np.signbit(x)) != 0).mean())
+                        if x.size > 1
+                        else 0.0
+                    )
+                    out["sample_rate"].append(sr)
+                    out["n_channels"].append(nch)
+                    out["n_samples"].append(int(nf))
+                    out["duration_sec"].append(nf / sr if sr else 0.0)
+                    out["rms"].append(rms)
+                    out["zero_crossing_rate"].append(zc)
+                except Exception:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_sec",
+                        "rms",
+                        "zero_crossing_rate",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    frame_bytes: int = 1024,
+    every_nth: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling plumbing: chunk the payload into fixed-size
+    'frames' and keep every n-th — one output row per sampled frame
+    (the partitioning/batch shape a real keyframe extractor would use;
+    swap the chunker for an av/ffmpeg demuxer on a cluster with codecs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                n = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n, every_nth):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def resize_image_stub(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Thumbnail pipeline with a STUBBED decode and a REAL resize.
+
+    Decode is faked (payload bytes reshaped into a square grayscale
+    image — PIL is not in this container; `_decode_real` raises), but
+    the downsample that follows is the genuine vectorized block-mean a
+    real thumbnailer runs, and the schema/batching are production
+    shape. Output: row-major ``out_h × out_w`` mean intensities."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, px = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                side = max(int(np.sqrt(max(len(b), 1))), 1)
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                arr = np.resize(arr, side * side).reshape(side, side)  # fake decode
+                # real block-mean downsample to (out_h, out_w)
+                ys = np.linspace(0, side, out_h + 1).astype(int)
+                xs = np.linspace(0, side, out_w + 1).astype(int)
+                thumb = np.array(
+                    [
+                        [
+                            arr[ys[r] : max(ys[r + 1], ys[r] + 1),
+                                xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+                            for c in range(out_w)
+                        ]
+                        for r in range(out_h)
+                    ]
+                )
+                ids.append(int(i))
+                hs.append(out_h)
+                ws.append(out_w)
+                px.append([float(v) for v in thumb.ravel()])
+            yield pd.DataFrame(
+                {"doc_id": ids, "height": hs, "width": ws, "pixels": px}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=THUMBNAIL_SCHEMA
+    )
