@@ -73,6 +73,49 @@ def _components_fixpoint(pairs: DataFrame, max_iterations: int = 50) -> DataFram
     return members.union(roots).distinct()
 
 
+def components_auto(
+    pairs: DataFrame, driver_threshold: int = 100_000
+) -> DataFrame:
+    """(node, component = lexicographically-min member) with an
+    adaptive strategy: duplicate/sameAs pair sets are usually tiny
+    relative to the corpus that produced them, and the distributed
+    fixpoint costs ~log² n rounds of job overhead — so edge sets up to
+    ``driver_threshold`` collect to a driver union-find (microseconds),
+    while anything larger runs the large/small-star fixpoint. The
+    input is checkpointed once, so the upstream pipeline (LSH, verify,
+    extraction) never executes twice."""
+    pairs = pairs.where(F.col("u") != F.col("v")).localCheckpoint()
+    n = pairs.count()
+    if n == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], "node string, component string"
+        )
+    if n > driver_threshold:
+        return _components_fixpoint(pairs)
+
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for row in pairs.collect():
+        u, v = row["u"], row["v"]
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return pairs.sparkSession.createDataFrame(
+        [(x, find(x)) for x in sorted(nodes)], "node string, component string"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     properties: list[str] | None = None,

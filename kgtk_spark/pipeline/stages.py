@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kgtk_spark.graph.connected_components import _components_fixpoint
+from kgtk_spark.graph.connected_components import components_auto  # noqa: F401 (stage import)
 from kgtk_spark.pipeline.aho import automaton_for, find_mentions, token_matcher_for
 from kgtk_spark.pipeline.webgen import PREDICATES, SAME_AS_LABEL, SAME_AS_PHRASE
 
@@ -256,9 +256,11 @@ def canonicalize(triples: DataFrame, same_as_label: str = SAME_AS_LABEL) -> Data
     rest = triples.filter(F.col("label") != same_as_label)
 
     pairs = same.select(F.col("node1").alias("u"), F.col("node2").alias("v"))
-    if pairs.isEmpty():
-        return rest
-    assign = _components_fixpoint(pairs)  # (node, component=min member)
+    # (node, component=min member); small sameAs graphs resolve on the
+    # driver, big ones run the large/small-star fixpoint.
+    from kgtk_spark.graph.connected_components import components_auto
+
+    assign = components_auto(pairs)
     rewrite = F.broadcast(
         assign.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("__from__"), F.col("component").alias("__to__")

@@ -308,56 +308,26 @@ def minhash_near_dup(
     else:
         raise ValueError(f"unknown verify mode: {verify!r}")
 
-    # Materialize once: the size probe and the clustering both consume
-    # `verified`; without this the banding+verify pipeline runs twice.
-    verified = verified.localCheckpoint()
-    n_pairs = verified.count()
+    # Duplicate-pair graphs are tiny relative to the corpus (pairs ≪
+    # docs after LSH + verify): components_auto resolves small sets on
+    # the driver and runs the distributed fixpoint otherwise, with the
+    # verify pipeline checkpointed so it never executes twice.
+    from kgtk_spark.graph.connected_components import components_auto
+
     ids = df.select(F.col(id_col))
-    if n_pairs == 0:
-        return ids.withColumn("cluster_id", F.col(id_col))
-
-    if n_pairs <= driver_cc_threshold:
-        # Small-graph fast path: duplicate-pair graphs are tiny relative
-        # to the corpus (pairs ≪ docs after LSH+verify), so union-find
-        # on the driver beats ~log n distributed fixpoint rounds of job
-        # overhead. The distributed path below remains the scale path.
-        parent: dict = {}
-
-        def find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for row in verified.collect():
-            ru, rv = find(row["u"]), find(row["v"])
-            if ru != rv:
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru
-        assign_rows = [(int(x), int(find(x))) for x in parent] + [
-            (int(x), int(x)) for x in set(map(find, parent)) - set(parent)
-        ]
-        assign = df.sparkSession.createDataFrame(
-            [(k, v) for k, v in dict(assign_rows).items()],
-            f"{id_col} long, cluster_id long",
-        )
-    else:
-        from kgtk_spark.graph.connected_components import _components_fixpoint
-
-        assign = _components_fixpoint(
-            verified.select(
-                F.col("u").cast("string").alias("u"),
-                F.col("v").cast("string").alias("v"),
-            )
-        )
-        # Component labels are string-min (arbitrary but consistent);
-        # re-map each component to its NUMERIC min member so cluster ids
-        # are stable and SQL-reproducible (string min of {"98","290"}
-        # would be "290").
-        assign = assign.select(F.col("node").cast("long").alias(id_col), "component")
-        reps = assign.groupBy("component").agg(F.min(id_col).alias("cluster_id"))
-        assign = assign.join(reps, "component").select(id_col, "cluster_id")
+    assign = components_auto(
+        verified.select(
+            F.col("u").cast("string").alias("u"),
+            F.col("v").cast("string").alias("v"),
+        ),
+        driver_threshold=driver_cc_threshold,
+    )
+    # Component labels are string-min (arbitrary but consistent); re-map
+    # each component to its NUMERIC min member so cluster ids are stable
+    # and SQL-reproducible (string min of {"98","290"} would be "290").
+    assign = assign.select(F.col("node").cast("long").alias(id_col), "component")
+    reps = assign.groupBy("component").agg(F.min(id_col).alias("cluster_id"))
+    assign = assign.join(reps, "component").select(id_col, "cluster_id")
 
     return ids.join(assign, id_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col(id_col))
