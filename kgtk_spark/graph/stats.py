@@ -55,12 +55,50 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _pagerank_driver(
+    pairs: list,
+    nodes: list,
+    damping: float,
+    max_iterations: int,
+    tolerance: float,
+    check_delta_every: int,
+):
+    """Same iteration semantics as the distributed loop, in numpy —
+    for graphs small enough that per-iteration Spark job launches
+    dominate (the values agree with the DataFrame path to float
+    round-off; both are ROUND(…, 6)-stable vs the SQL oracle)."""
+    import numpy as np
+
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([idx[u] for u, _ in pairs], dtype=np.int64)
+    dst = np.array([idx[v] for _, v in pairs], dtype=np.int64)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = out_deg == 0
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for i in range(max_iterations):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / out_deg[src])
+        dm = rank[dangling].sum()
+        new_rank = base + damping * (contrib + dm / n)
+        if tolerance > 0 and (
+            (i + 1) % check_delta_every == 0 or i == max_iterations - 1
+        ):
+            if np.abs(new_rank - rank).sum() < tolerance:
+                rank = new_rank
+                break
+        rank = new_rank
+    return [(v, float(rank[idx[v]])) for v in nodes]
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     max_iterations: int = 20,
     tolerance: float = 1e-6,
     check_delta_every: int = 5,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """PageRank over the directed edge file → (node, vertex_pagerank).
 
@@ -82,6 +120,21 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("vertex_pagerank", F.lit(0.0))
+
+    # Gate on the raw edge count (cheap count-pushdown scan) — do NOT
+    # checkpoint the full edge list just to size it.
+    if edges.count() <= driver_threshold:
+        rows = _pagerank_driver(
+            [(r["src"], r["dst"]) for r in pairs.collect()],
+            [r["node"] for r in verts.collect()],
+            damping,
+            max_iterations,
+            tolerance,
+            check_delta_every,
+        )
+        return edges.sparkSession.createDataFrame(
+            rows, "node string, vertex_pagerank double"
+        )
 
     out_deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # Pre-join the out-degree once; this frame is reused every iteration.
@@ -138,11 +191,48 @@ def pagerank(
     return ranks.withColumnRenamed("rank", "vertex_pagerank")
 
 
+def _hits_driver(pairs: list, nodes: list, max_iterations: int):
+    """numpy twin of the distributed HITS loop (same semantics: auth
+    from hubs, hub from RAW auth, joint L2 normalization per round)."""
+    import numpy as np
+
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([idx[u] for u, _ in pairs], dtype=np.int64)
+    dst = np.array([idx[v] for _, v in pairs], dtype=np.int64)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(max_iterations):
+        auth_raw = np.zeros(n)
+        np.add.at(auth_raw, dst, hub[src])
+        hub_raw = np.zeros(n)
+        np.add.at(hub_raw, src, auth_raw[dst])
+        hn = float(np.sqrt((hub_raw * hub_raw).sum())) or 1.0
+        an = float(np.sqrt((auth_raw * auth_raw).sum())) or 1.0
+        hub = hub_raw / hn
+        auth = auth_raw / an
+    return [(v, float(hub[idx[v]]), float(auth[idx[v]])) for v in nodes]
+
+
 def hits(
-    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 5
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_every: int = 5,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """HITS hubs/authorities with L2 normalization per round."""
     n1, _, n2 = _edge_cols(edges)
+    if edges.count() <= driver_threshold:
+        p = edges.select(F.col(n1).alias("src"), F.col(n2).alias("dst")).collect()
+        vs = vertices(edges).collect()
+        rows = _hits_driver(
+            [(r["src"], r["dst"]) for r in p],
+            [r["node"] for r in vs],
+            max_iterations,
+        )
+        return edges.sparkSession.createDataFrame(
+            rows, "node string, vertex_hubs double, vertex_auth double"
+        )
     pairs = edges.select(F.col(n1).alias("src"), F.col(n2).alias("dst")).localCheckpoint()
     verts = vertices(edges).localCheckpoint()
 

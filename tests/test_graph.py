@@ -147,3 +147,30 @@ def test_paths(spark):
         by_path.setdefault(r["node1"], []).append((int(r["label"]), r["node2"]))
     seqs = {tuple(e for _, e in sorted(v)) for v in by_path.values()}
     assert seqs == {("e3",), ("e1", "e2")}
+
+
+def test_pagerank_driver_and_distributed_agree(spark):
+    edges = spark.createDataFrame(
+        [("a", "e", "b"), ("b", "e", "c"), ("c", "e", "a"), ("a", "e", "c"), ("d", "e", "a")],
+        ["node1", "label", "node2"],
+    )
+    drv = {r["node"]: r["vertex_pagerank"] for r in pagerank(edges, max_iterations=10, tolerance=0.0).collect()}
+    dist = {r["node"]: r["vertex_pagerank"]
+            for r in pagerank(edges, max_iterations=10, tolerance=0.0, driver_threshold=0).collect()}
+    assert set(drv) == set(dist)
+    for k in drv:
+        assert abs(drv[k] - dist[k]) < 1e-9
+
+
+def test_hits_driver_and_distributed_agree(spark):
+    edges = spark.createDataFrame(
+        [("a", "e", "b"), ("a", "e", "c"), ("b", "e", "c"), ("d", "e", "c")],
+        ["node1", "label", "node2"],
+    )
+    drv = {r["node"]: (r["vertex_hubs"], r["vertex_auth"]) for r in hits(edges, max_iterations=8).collect()}
+    dist = {r["node"]: (r["vertex_hubs"], r["vertex_auth"])
+            for r in hits(edges, max_iterations=8, driver_threshold=0).collect()}
+    assert set(drv) == set(dist)
+    for k in drv:
+        assert abs(drv[k][0] - dist[k][0]) < 1e-9
+        assert abs(drv[k][1] - dist[k][1]) < 1e-9
