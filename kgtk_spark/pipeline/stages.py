@@ -9,9 +9,10 @@ Scale notes (the whole point):
   dictionaries too big to broadcast);
 - triple assembly shuffles once on (url) — pages are independent, so
   the shuffle key is uniform by construction;
-- canonicalization is the connected-components fixpoint from
-  kgtk_spark.graph over the (tiny) sameAs subgraph, applied back to the
-  full edge stream via a broadcast rewrite map;
+- canonicalization resolves the (tiny) sameAs subgraph with the
+  adaptive connected components from kgtk_spark.graph (driver
+  union-find when small, large/small-star fixpoint at scale), applied
+  back to the full edge stream via a broadcast rewrite map;
 - materialize buckets by subject hash (explicit repartition) so the
   downstream graph operators and compact co-locate by subject.
 """
