@@ -1083,6 +1083,68 @@ def q_minhash(spark, sf_dir):
 
 
 @query(
+    "kgtk_validate_properties",
+    # Twin of the pattern table in the query body: P2044 requires a
+    # numeric node2 in [-500, 10000]; P856 requires node1 Q\d+ and an
+    # http(s) node2; rows under no rule pass.
+    "WITH e AS ("
+    "  SELECT 'Q' || CAST(l_orderkey AS VARCHAR) AS node1, 'P2044' AS label, "
+    "         CAST(l_quantity AS VARCHAR) AS node2 FROM lineitem "
+    "  UNION ALL "
+    "  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE 'Q' END || CAST(o_orderkey AS VARCHAR), "
+    "         'P856', "
+    "         CASE WHEN o_orderkey % 2 = 0 THEN 'https://example.org/' ELSE 'ftp://example.org/' END "
+    "         || CAST(o_orderkey AS VARCHAR) FROM orders "
+    "  UNION ALL "
+    "  SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'other', n_name FROM nation) "
+    "SELECT node1, label, node2 FROM e "
+    "WHERE (label = 'P2044' AND regexp_matches(node2, '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$') "
+    "       AND CAST(node2 AS DOUBLE) BETWEEN -500 AND 10000) "
+    "   OR (label = 'P856' AND regexp_matches(node1, '^Q[0-9]+$') "
+    "       AND regexp_matches(node2, '^https?://')) "
+    "   OR label NOT IN ('P2044', 'P856')",
+)
+def q_validate_properties(spark, sf_dir):
+    """validate-properties (kgtk/value/propertypatternvalidator.py)
+    over a derived dirty edge file: numeric range rule + regex pattern
+    rules, valid side only (the reject side carries reasons)."""
+    from kgtk_spark.operators import PropertyPattern, validate_properties
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("Q"), F.col("l_orderkey").cast("string")).alias("node1"),
+        F.lit("P2044").alias("label"),
+        F.col("l_quantity").cast("string").alias("node2"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.concat(
+            F.when(F.col("o_orderkey") % 3 == 0, "X").otherwise("Q"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("node1"),
+        F.lit("P856").alias("label"),
+        F.concat(
+            F.when(
+                F.col("o_orderkey") % 2 == 0, "https://example.org/"
+            ).otherwise("ftp://example.org/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("node2"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node1"),
+        F.lit("other").alias("label"),
+        F.col("n_name").alias("node2"),
+    )
+    edges = li.unionByName(o).unionByName(n)
+    patterns = [
+        PropertyPattern(
+            "P2044", node2_type=["number", "quantity"], minval=-500, maxval=10000
+        ),
+        PropertyPattern("P856", node1_pattern=r"^Q\d+$", node2_pattern=r"^https?://"),
+    ]
+    valid, _reject = validate_properties(edges, patterns)
+    return valid
+
+
+@query(
     "kgtk_every_nth",
     f"WITH {EDGES_CTE}, o AS (SELECT node1, label, node2, "
     "row_number() OVER (ORDER BY node1, label, node2) AS rn FROM edges) "
