@@ -53,8 +53,16 @@ def kgtk_lift(
     lift_suffix: str = ";label",
     remove_label_rows: bool = True,
     default_value: str = "",
+    broadcast: bool = True,
 ) -> DataFrame:
-    """Attach ``<col>;label`` columns; broadcast the label map."""
+    """Attach ``<col>;label`` columns.
+
+    ``broadcast=True`` (default) hints the label map for a map-side
+    join — right for label dictionaries that fit executor memory. Pass
+    ``broadcast=False`` for label tables at corpus scale; the joins
+    then shuffle on the lifted key (still one shuffle per lifted
+    column, matching the reference's sorted-merge strategy,
+    kgtk/lift/kgtklift.py:576-690)."""
     lbl = resolve_column(input_df.columns, "label") or "label"
     if label_df is None:
         label_df = input_df
@@ -62,7 +70,9 @@ def kgtk_lift(
     else:
         labels_from_input = False
 
-    label_map = F.broadcast(build_label_map(label_df, label_select_value))
+    label_map = build_label_map(label_df, label_select_value)
+    if broadcast:
+        label_map = F.broadcast(label_map)
 
     out = input_df
     if remove_label_rows and (labels_from_input or label_df is input_df):
