@@ -30,6 +30,7 @@ MANIFEST_SCHEMA = (
     "stage string, fingerprint string, rows long, partitions int, "
     "duration_sec double, status string, committed_at double"
 )
+LINEAGE_SCHEMA = "stage string, fingerprint string, file string, rows long"
 
 
 def _fp(*parts: str) -> str:
@@ -58,6 +59,18 @@ class StageManifest:
         )
         df.write.mode("append").parquet(self.path)
 
+    def record_lineage(self, stage: str, fingerprint: str, per_file: list):
+        """One row per output file (stage partition): the north_rule's
+        per-partition lineage. ``per_file`` = [(file, rows), ...]."""
+        df = self.spark.createDataFrame(
+            [(stage, fingerprint, f, int(n)) for f, n in per_file],
+            LINEAGE_SCHEMA,
+        )
+        df.write.mode("append").parquet(self.path + "_lineage")
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "_lineage")
+
 
 def _run_stage(
     spark: SparkSession,
@@ -77,9 +90,18 @@ def _run_stage(
     df = compute()
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    n = out.count()
-    parts = out.rdd.getNumPartitions()
-    manifest.record(name, fingerprint, n, parts, time.time() - t0)
+    # Per-partition lineage: one (file, rows) pair per written parquet
+    # part — the collect is bounded by the partition count, and the
+    # same aggregation also yields the total row count (no extra scan).
+    per_file = [
+        (r["file"], r["rows"])
+        for r in out.groupBy(F.input_file_name().alias("file"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    ]
+    n = sum(rows for _, rows in per_file)
+    manifest.record(name, fingerprint, n, len(per_file), time.time() - t0)
+    manifest.record_lineage(name, fingerprint, per_file)
     return out
 
 

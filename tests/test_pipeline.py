@@ -140,3 +140,17 @@ def test_pipeline_resume_skips_committed(spark, tmp_path):
     # Changing the input fingerprint invalidates the whole chain.
     run_pipeline(spark, pages, ad, out_dir, n_buckets=2, input_fingerprint="other")
     assert spark.read.parquet(f"{out_dir}/_manifest").count() == n1 + 6
+
+    # Per-partition lineage: one row per written parquet part, per-stage
+    # sums equal the manifest row counts (north_rule lineage+metrics).
+    lineage = spark.read.parquet(f"{out_dir}/_manifest_lineage")
+    from pyspark.sql import functions as F
+
+    sums = {
+        (r["stage"], r["fingerprint"]): r["total"]
+        for r in lineage.groupBy("stage", "fingerprint")
+        .agg(F.sum("rows").alias("total"))
+        .collect()
+    }
+    for m in spark.read.parquet(f"{out_dir}/_manifest").collect():
+        assert sums[(m["stage"], m["fingerprint"])] == m["rows"]
