@@ -84,10 +84,12 @@ def _shingle_hashes_np(th: np.ndarray, k: int) -> np.ndarray:
     if t.size == 0:
         return np.array([], dtype=np.uint64)
     if t.size < k:
-        h = t[0]
+        # 1-element ARRAY arithmetic: numpy wraps array overflow
+        # silently but warns on scalar overflow.
+        h = t[:1].copy()
         for j in range(1, t.size):
-            h = h * _POLY + t[j]
-        return _splitmix64(np.array([h], dtype=np.uint64))
+            h = h * _POLY + t[j : j + 1]
+        return _splitmix64(h)
     m = t.size - k + 1
     h = t[:m].copy()
     for j in range(1, k):
