@@ -1,4 +1,4 @@
-"""`kgtk text-embedding` — sentence construction + embedding (stub model).
+"""`kgtk text-embedding` — sentence construction + embedding.
 
 Reference: kgtk/cli/text_embedding.py + kgtk/gt/embedding_utils.py —
 builds a natural-language sentence per Qnode from its label /
@@ -6,13 +6,13 @@ description / isa properties, embeds it with a SentenceTransformer,
 and serves cosine-similarity queries.
 
 Spark re-expression: sentence construction is a lift-style aggregation
-(pure DataFrame); the embedding model runs inside ``mapInPandas`` with
-a broadcast/executor-cached model. The transformer libraries are NOT in
-this container, so the model hook is a clearly-marked stub — a
-deterministic hash-projection embedding with the same signature, batch
-shape, and output schema a real model would have. Swap
-``_embed_batch_stub`` for a SentenceTransformer call on a real cluster.
-Similarity queries reuse kgtk_spark.textops.similarity.
+(pure DataFrame); the embedding runs inside ``mapInPandas``. The
+default backend is a REAL feature-hashing (hashing-trick) embedding —
+deterministic, vocabulary-sensitive, meaningful under cosine — since
+the transformer libraries are not in this container; the
+SentenceTransformer backend is a one-line plug into ``_BACKENDS`` on a
+cluster that has them. Similarity queries reuse
+kgtk_spark.textops.similarity.
 """
 
 from __future__ import annotations
@@ -87,12 +87,53 @@ def _embed_batch_stub(sentences: list[str], dim: int) -> np.ndarray:
     return out
 
 
+def _embed_batch_hash_kernel(sentences: list[str], dim: int) -> np.ndarray:
+    """REAL bag-of-features embedding via the hashing trick (Weinberger
+    et al. 2009): lowercase unigram + bigram features, signed-bucket
+    accumulation, L2 normalization. Not a transformer, but a genuine,
+    deterministic text embedding — sentences sharing vocabulary land
+    near each other in cosine space, so ANN / near-dup / clustering
+    downstream behave meaningfully (unlike the random-projection stub,
+    which only preserves identity).
+    """
+    import zlib
+
+    out = np.zeros((len(sentences), dim), dtype=np.float32)
+    for i, s in enumerate(sentences):
+        toks = s.lower().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            continue
+        hs = np.array([zlib.crc32(f.encode()) for f in feats], dtype=np.uint32)
+        idx = (hs % np.uint32(dim)).astype(np.int64)
+        sign = np.where((hs >> np.uint32(16)) & np.uint32(1), 1.0, -1.0)
+        np.add.at(out[i], idx, sign)
+        norm = np.linalg.norm(out[i])
+        if norm > 0:
+            out[i] /= norm
+    return out
+
+
+_BACKENDS = {
+    "hash_kernel": _embed_batch_hash_kernel,
+    "stub": _embed_batch_stub,
+}
+
+
 def text_embedding(
     edges: DataFrame,
     dim: int = 64,
+    backend: str = "hash_kernel",
     **sentence_kwargs,
 ) -> DataFrame:
-    """(node, sentence, embedding: array<float>) per entity."""
+    """(node, sentence, embedding: array<float>) per entity.
+
+    ``backend="hash_kernel"`` (default) is the real feature-hashing
+    embedding; ``"stub"`` is the identity-only random projection; a
+    SentenceTransformer backend plugs in by adding its encode function
+    to ``_BACKENDS`` on a cluster with the model libraries installed.
+    """
+    embed = _BACKENDS[backend]
     sents = build_sentences(edges, **sentence_kwargs)
     schema = T.StructType(
         [
@@ -104,7 +145,7 @@ def text_embedding(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            vecs = _embed_batch_stub(list(pdf["sentence"]), dim)
+            vecs = embed(list(pdf["sentence"]), dim)
             yield pd.DataFrame(
                 {
                     "node": pdf["node"],

@@ -165,3 +165,32 @@ def test_export_wikidata_json(spark):
     assert doc["id"] == "Q1" and doc["type"] == "item"
     assert doc["claims"]["P31"] == ["Q5", "Q6"]
     assert doc["claims"]["P18"] == ["img"]
+
+
+def test_text_embedding_hash_kernel_semantics(spark):
+    from kgtk_spark.graph.embedding import text_embedding
+    import numpy as np
+
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "label", '"gold"'),
+            ("Q1", "description", '"yellow precious metal"'),
+            ("Q2", "label", '"silver"'),
+            ("Q2", "description", '"grey precious metal"'),
+            ("Q3", "label", '"photosynthesis"'),
+            ("Q3", "description", '"plant energy process"'),
+        ],
+        ["node1", "label", "node2"],
+    )
+    out = {r["node"]: np.array(r["embedding"]) for r in text_embedding(edges, dim=128).collect()}
+
+    def cos(a, b):
+        return float(a @ b)  # vectors are L2-normalized
+
+    # shared vocabulary ("precious metal") pulls Q1/Q2 together
+    assert cos(out["Q1"], out["Q2"]) > cos(out["Q1"], out["Q3"]) + 0.1
+    for v in out.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic
+    again = {r["node"]: np.array(r["embedding"]) for r in text_embedding(edges, dim=128).collect()}
+    assert all(np.allclose(out[k], again[k]) for k in out)
