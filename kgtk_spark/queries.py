@@ -1355,6 +1355,37 @@ def q_asof(spark, sf_dir):
 
 
 @query(
+    "events_range_join",
+    "WITH iv AS (SELECT user_id, MIN(ts) AS start_ts, "
+    "MIN(ts) + INTERVAL 1 DAY AS end_ts FROM events GROUP BY user_id) "
+    "SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events e JOIN iv ON e.user_id = iv.user_id "
+    "AND e.ts >= iv.start_ts AND e.ts < iv.end_ts "
+    "GROUP BY e.user_id",
+)
+def q_range_join(spark, sf_dir):
+    """Bucketized range join (no per-key cross product): events inside
+    each user's first 24 hours — plain theta-join oracle."""
+    from kgtk_spark.textops.olap import range_join
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("end_ts"),
+    )
+    joined = range_join(
+        ev.select("user_id", "event_id", "ts"),
+        iv,
+        left_ts="ts",
+        right_start="start_ts",
+        right_end="end_ts",
+        on=["user_id"],
+        bucket_seconds=6 * 3600,
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "

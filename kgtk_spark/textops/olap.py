@@ -131,3 +131,52 @@ def asof_join(
             *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_vals],
         )
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    on: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval (range) join without the cross-product blowup.
+
+    Joins each left row whose ``left_ts`` falls in
+    ``[right_start, right_end)`` — the classic bucketized range join:
+    each interval explodes into the time buckets it covers, each event
+    carries exactly ONE bucket, and the join runs as an equi-join on
+    (keys…, bucket) with the range predicate as a post-filter. A plain
+    theta join here is a per-key cross product; bucketing bounds the
+    fan-out to events-per-bucket × intervals-overlapping-that-bucket.
+    Size ``bucket_seconds`` near the typical interval length so
+    intervals explode into O(1) buckets.
+
+    Each (event, interval) pair meets in exactly one bucket (the
+    event's), so no dedup pass is needed.
+    """
+    on = on or []
+    w = F.lit(int(bucket_seconds))
+    l2 = left.withColumn(
+        "__bkt__", F.floor(F.unix_timestamp(F.col(left_ts)) / w).cast("long")
+    )
+    r2 = right.withColumnsRenamed(
+        {c: f"__r_{c}" for c in right.columns if c in left.columns and c not in on}
+    )
+    rs = f"__r_{right_start}" if right_start in left.columns and right_start not in on else right_start
+    re_ = f"__r_{right_end}" if right_end in left.columns and right_end not in on else right_end
+    r2 = r2.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(rs)) / w).cast("long"),
+                F.floor(F.unix_timestamp(F.col(re_)) / w).cast("long"),
+            )
+        ),
+    )
+    joined = l2.join(r2, [*on, "__bkt__"]).filter(
+        (F.col(left_ts) >= F.col(rs)) & (F.col(left_ts) < F.col(re_))
+    )
+    return joined.drop("__bkt__")

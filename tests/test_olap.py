@@ -54,3 +54,39 @@ def test_asof_join_backward(spark):
     assert out["c1"] == ts(0)    # latest purchase ≤ 10:10
     assert out["c2"] == ts(30)   # latest purchase ≤ 10:40
     assert out["c3"] is None     # user 2 never purchased
+
+
+def test_range_join_matches_theta_join(spark):
+    from kgtk_spark.textops.olap import range_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:30:00"),
+            (1, 101, "2024-01-01 12:00:00"),
+            (1, 102, "2024-01-02 06:00:00"),  # outside user 1's interval
+            (2, 200, "2024-01-05 00:00:00"),
+        ],
+        "user_id long, event_id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    iv = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+            (2, "2024-01-04 23:00:00", "2024-01-05 01:00:00"),
+        ],
+        "user_id long, s string, e string",
+    ).select(
+        "user_id", F.to_timestamp("s").alias("start_ts"), F.to_timestamp("e").alias("end_ts")
+    )
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in range_join(
+            ev, iv, "ts", "start_ts", "end_ts", on=["user_id"], bucket_seconds=3600
+        ).collect()
+    }
+    expect = {
+        (r["user_id"], r["event_id"])
+        for r in ev.join(iv, "user_id")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .collect()
+    }
+    assert got == expect == {(1, 100), (1, 101), (2, 200)}
