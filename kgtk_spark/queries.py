@@ -1386,6 +1386,38 @@ def q_range_join(spark, sf_dir):
 
 
 @query(
+    "events_rollup",
+    # The oracle aggregates raw events directly at each granularity —
+    # the rollup must equal it even though it reuses the finer level.
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2), "
+    "d AS (SELECT event_type, date_trunc('day', ts) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT event_type, bucket, n, sum_value, 'hour' AS granularity FROM h "
+    "UNION ALL "
+    "SELECT event_type, bucket, n, sum_value, 'day' AS granularity FROM d",
+)
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hourly from raw,
+    daily from hourly — checked against direct per-level aggregation."""
+    from kgtk_spark.textops.olap import hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev, "ts", ["event_type"], "value", granularities=("hour", "day")
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 6).alias("sum_value"),
+        "granularity",
+    )
+
+
+@query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "

@@ -180,3 +180,52 @@ def range_join(
         (F.col(left_ts) >= F.col(rs)) & (F.col(left_ts) < F.col(re_))
     )
     return joined.drop("__bkt__")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    granularities: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup (hypertable style).
+
+    The FINEST granularity aggregates the raw events once; every
+    coarser level re-aggregates the level below it instead of the raw
+    table — counts and sums compose exactly, min/max compose exactly,
+    and avg is derived as sum/count at read time. At 10^12 events the
+    raw table is touched once; each further level costs one aggregation
+    over the (tiny) previous rollup. Output stacks all levels with a
+    ``granularity`` column; ``bucket`` is the truncated timestamp.
+
+    ``granularities`` must be ordered finest → coarsest (each level's
+    buckets must nest in the next: hour ⊂ day ⊂ month ⊂ year).
+    """
+    finest = granularities[0]
+    level = (
+        df.groupBy(
+            *group_cols, F.date_trunc(finest, F.col(ts_col)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+    out = level.withColumn("granularity", F.lit(finest))
+    for g in granularities[1:]:
+        level = (
+            level.groupBy(
+                *group_cols, F.date_trunc(g, F.col("bucket")).alias("bucket")
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        out = out.unionByName(level.withColumn("granularity", F.lit(g)))
+    return out

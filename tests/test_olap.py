@@ -90,3 +90,28 @@ def test_range_join_matches_theta_join(spark):
         .collect()
     }
     assert got == expect == {(1, 100), (1, 101), (2, 200)}
+
+
+def test_hypertable_rollup_levels_compose(spark):
+    from kgtk_spark.textops.olap import hypertable_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:15:00", 1.0),
+            ("a", "2024-01-01 10:45:00", 3.0),
+            ("a", "2024-01-01 23:00:00", 5.0),
+            ("a", "2024-01-02 01:00:00", 7.0),
+            ("b", "2024-01-01 10:00:00", 10.0),
+        ],
+        "event_type string, ts_s string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = hypertable_rollup(ev, "ts", ["event_type"], "value", ("hour", "day"))
+    rows = {(r["granularity"], r["event_type"], str(r["bucket"])): r for r in out.collect()}
+    h = rows[("hour", "a", "2024-01-01 10:00:00")]
+    assert h["n"] == 2 and h["sum_value"] == 4.0
+    assert h["min_value"] == 1.0 and h["max_value"] == 3.0
+    d = rows[("day", "a", "2024-01-01 00:00:00")]
+    assert d["n"] == 3 and d["sum_value"] == 9.0
+    assert d["min_value"] == 1.0 and d["max_value"] == 5.0
+    d2 = rows[("day", "a", "2024-01-02 00:00:00")]
+    assert d2["n"] == 1 and d2["sum_value"] == 7.0
