@@ -1417,6 +1417,36 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def _kmv_oracle(k: int = 64) -> str:
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    return (
+        "WITH hh AS (SELECT DISTINCT event_type, "
+        f"CAST({hexparse} AS BIGINT) AS hv "
+        "FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events)), "
+        "r AS (SELECT event_type, hv, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY hv) AS rk FROM hh), "
+        f"s AS (SELECT event_type, MAX(CASE WHEN rk = {k} THEN hv END) AS kth, "
+        f"COUNT(*) AS n_seen FROM r WHERE rk <= {k} GROUP BY event_type) "
+        f"SELECT event_type, ROUND(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE) "
+        f"ELSE {k - 1} * POW(2.0, 60) / CAST(kth AS DOUBLE) END, 6) AS distinct_estimate "
+        "FROM s"
+    )
+
+
+@query("events_kmv_users", _kmv_oracle())
+def q_kmv_users(spark, sf_dir):
+    """KMV distinct-count sketch: approximate distinct users per event
+    type — the estimator itself (md5-60bit hashes, k smallest, (k-1)/U_k)
+    is deterministic and replayed exactly by the SQL oracle."""
+    from kgtk_spark.textops.sketches import kmv_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
 @query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "

@@ -115,3 +115,32 @@ def test_hypertable_rollup_levels_compose(spark):
     assert d["min_value"] == 1.0 and d["max_value"] == 5.0
     d2 = rows[("day", "a", "2024-01-02 00:00:00")]
     assert d2["n"] == 1 and d2["sum_value"] == 7.0
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    from kgtk_spark.textops.olap import hypertable_rollup  # noqa: F401
+    from kgtk_spark.textops.sketches import kmv_distinct, kmv_merge, kmv_sketch
+
+    rows = [("g1", f"user{i}") for i in range(1000)] + [
+        ("g2", f"user{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    est = {
+        r["grp"]: r["distinct_estimate"]
+        for r in kmv_distinct(df, ["grp"], "uid", k=64).collect()
+    }
+    # under k distinct → exact
+    assert est["g2"] == 30.0
+    # 1000 distinct at k=64: ~1/sqrt(64) = 12.5% expected error; allow 3x
+    assert abs(est["g1"] - 1000) / 1000 < 0.375
+
+    # merging per-half sketches equals the sketch of the union
+    df1 = df.filter(F.col("uid") < "user5")   # lexicographic split
+    df2 = df.filter(F.col("uid") >= "user5")
+    s1 = kmv_sketch(df1, ["grp"], "uid", k=64)
+    s2 = kmv_sketch(df2, ["grp"], "uid", k=64)
+    merged = kmv_merge(s1.unionByName(s2), ["grp"], k=64)
+    direct = kmv_sketch(df, ["grp"], "uid", k=64)
+    m = {r["grp"]: r["sketch"] for r in merged.collect()}
+    d = {r["grp"]: r["sketch"] for r in direct.collect()}
+    assert m == d
