@@ -572,6 +572,97 @@ def q_hits(spark, sf_dir):
 
 
 @query(
+    "import_ntriples",
+    "SELECT 'ex:N' || CAST(n_nationkey AS VARCHAR) AS node1, 'ex:in_region' AS label, "
+    "'ex:R' || CAST(n_regionkey AS VARCHAR) AS node2 FROM nation "
+    "UNION ALL SELECT 'ex:N' || CAST(n_nationkey AS VARCHAR), 'ex:name', "
+    "'\"' || n_name || '\"' FROM nation "
+    "UNION ALL SELECT 'ex:N' || CAST(n_nationkey AS VARCHAR), 'ex:label', "
+    "'''' || lower(n_name) || '''@en' FROM nation "
+    "UNION ALL SELECT 'ex:N' || CAST(n_nationkey AS VARCHAR), 'ex:pop', "
+    "CAST(n_nationkey * 7 AS VARCHAR) FROM nation",
+)
+def q_import_ntriples(spark, sf_dir):
+    """N-Triples importer (kgtk/imports/kgtkntriples.py): IRI namespace
+    compression + literal→KGTK conversion (plain / lang-tagged /
+    xsd-numeric), parsed from synthesized N-Triples lines."""
+    from kgtk_spark.sources import import_ntriples
+
+    n = load(spark, sf_dir, "nation")
+    ex = "http://example.org/"
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit(f"<{ex}N"), k, F.lit("> "))
+    lines = (
+        n.select(
+            F.concat(
+                subj, F.lit(f"<{ex}in_region> <{ex}R"),
+                F.col("n_regionkey").cast("string"), F.lit("> ."),
+            ).alias("value")
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    subj, F.lit(f'<{ex}name> "'), F.col("n_name"), F.lit('" .')
+                ).alias("value")
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    subj, F.lit(f'<{ex}label> "'), F.lower("n_name"), F.lit('"@en .')
+                ).alias("value")
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    subj,
+                    F.lit(f'<{ex}pop> "'),
+                    (F.col("n_nationkey") * 7).cast("string"),
+                    F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+                ).alias("value")
+            )
+        )
+    )
+    return import_ntriples(spark, lines, {ex: "ex"})
+
+
+@query(
+    "import_wikidata_edges",
+    "SELECT 'Q' || CAST(n_nationkey AS VARCHAR) || '-P17-Q9' || CAST(n_regionkey AS VARCHAR) AS id, "
+    "'Q' || CAST(n_nationkey AS VARCHAR) AS node1, 'P17' AS label, "
+    "'Q9' || CAST(n_regionkey AS VARCHAR) AS node2 FROM nation "
+    "UNION ALL "
+    "SELECT 'Q' || CAST(n_nationkey AS VARCHAR) || '-P373-\"' || n_name || '\"', "
+    "'Q' || CAST(n_nationkey AS VARCHAR), 'P373', '\"' || n_name || '\"' FROM nation",
+)
+def q_import_wikidata(spark, sf_dir):
+    """Wikidata JSON-dump importer (kgtk/cli/import_wikidata.py, 1284
+    LoC multiprocess): entity JSON lines synthesized from nation, claim
+    mainsnaks → truthy edges with content-derived ids."""
+    from kgtk_spark.sources.wikidata import WIKIDATA_SCHEMA, import_wikidata_jsonl
+
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    r = F.col("n_regionkey").cast("string")
+    doc = F.concat(
+        F.lit('{"id":"Q'), k,
+        F.lit('","type":"item","labels":{"en":{"language":"en","value":"'),
+        F.col("n_name"),
+        F.lit('"}},"claims":{"P17":[{"mainsnak":{"snaktype":"value","property":"P17",'
+              '"datavalue":{"type":"wikibase-entityid","value":{"id":"Q9'),
+        r,
+        F.lit('"}}}}],"P373":[{"mainsnak":{"snaktype":"value","property":"P373",'
+              '"datavalue":{"type":"string","value":"'),
+        F.col("n_name"),
+        F.lit('"}}}]}}'),
+    )
+    parsed = n.select(F.from_json(doc, WIKIDATA_SCHEMA).alias("e")).select("e.*")
+    _nodes, edges = import_wikidata_jsonl(spark, parsed)
+    return edges
+
+
+@query(
     "cskg_conceptnet",
     "SELECT '/c/en/' || replace(p_name, ' ', '_') AS node1, "
     "CASE WHEN p_partkey % 2 = 0 THEN '/r/UsedFor' ELSE '/r/RelatedTo' END AS relation, "

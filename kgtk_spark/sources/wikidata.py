@@ -25,29 +25,13 @@ from pyspark.sql import types as T
 _LANG_VALUE = T.StructType(
     [T.StructField("language", T.StringType()), T.StructField("value", T.StringType())]
 )
-_DATAVALUE = T.StructType(
-    [
-        T.StructField("type", T.StringType()),
-        T.StructField(
-            "value",
-            T.StructType(
-                [
-                    T.StructField("id", T.StringType()),
-                    T.StructField("text", T.StringType()),
-                    T.StructField("language", T.StringType()),
-                    T.StructField("amount", T.StringType()),
-                    T.StructField("lowerBound", T.StringType()),
-                    T.StructField("upperBound", T.StringType()),
-                    T.StructField("unit", T.StringType()),
-                    T.StructField("time", T.StringType()),
-                    T.StructField("precision", T.IntegerType()),
-                    T.StructField("latitude", T.DoubleType()),
-                    T.StructField("longitude", T.DoubleType()),
-                ]
-            ),
-        ),
-    ]
-)
+# datavalue payloads are heterogeneous: `"value"` is a bare JSON string
+# for string/external-id/url claims but an object for entity/time/
+# quantity/coordinate/monolingual claims. A fixed struct schema would
+# silently NULL the string form (very common in real dumps), so the
+# datavalue rides as a Spark 4 VARIANT and _value_to_kgtk extracts
+# typed paths with try_variant_get.
+_DATAVALUE = T.VariantType()
 _SNAK = T.StructType(
     [
         T.StructField("snaktype", T.StringType()),
@@ -79,9 +63,20 @@ WIKIDATA_SCHEMA = T.StructType(
 
 
 def _value_to_kgtk(dv: Column) -> Column:
-    """datavalue struct → KGTK literal string."""
-    typ = dv["type"]
-    v = dv["value"]
+    """datavalue VARIANT → KGTK literal string."""
+    def vg(path: str, t: str = "string") -> Column:
+        return F.try_variant_get(dv, path, t)
+
+    class _V:
+        def __getitem__(self, name):
+            if name == "precision":
+                return vg("$.value.precision", "int")
+            if name in ("latitude", "longitude"):
+                return vg(f"$.value.{name}", "double")
+            return vg(f"$.value.{name}")
+
+    typ = vg("$.type")
+    v = _V()
     quantity = F.concat(
         F.regexp_replace(v["amount"], r"^\+", ""),
         F.when(
@@ -117,7 +112,8 @@ def _value_to_kgtk(dv: Column) -> Column:
         .when(typ == "time", time)
         .when(typ == "quantity", quantity)
         .when(typ == "globecoordinate", coords)
-        .otherwise(F.concat(F.lit('"'), v.cast("string"), F.lit('"')))
+        # string / external-id / url: the datavalue's value IS the string
+        .otherwise(F.concat(F.lit('"'), vg("$.value"), F.lit('"')))
     )
 
 
