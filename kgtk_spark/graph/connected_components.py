@@ -138,7 +138,7 @@ def connected_components(
         src = src.filter(F.col(lb).isin(properties))
 
     pairs = src.select(F.col(n1).alias("u"), F.col(n2).alias("v"))
-    assign = _components_fixpoint(pairs, max_iterations)
+    assign = components_auto(pairs)
 
     # Cluster-size filter (isolated nodes never appear: they have no edges).
     sizes = assign.groupBy("component").agg(F.count(F.lit(1)).alias("__size__"))

@@ -174,3 +174,19 @@ def test_hits_driver_and_distributed_agree(spark):
     for k in drv:
         assert abs(drv[k][0] - dist[k][0]) < 1e-9
         assert abs(drv[k][1] - dist[k][1]) < 1e-9
+
+
+def test_components_auto_driver_and_fixpoint_agree(spark):
+    from kgtk_spark.graph.connected_components import components_auto
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "p")],
+        "u string, v string",
+    )
+    drv = {(r["node"], r["component"]) for r in components_auto(pairs).collect()}
+    dist = {
+        (r["node"], r["component"])
+        for r in components_auto(pairs, driver_threshold=0).collect()
+    }
+    assert drv == dist
+    assert ("c", "a") in drv and ("y", "x") in drv and ("r", "p") in drv
