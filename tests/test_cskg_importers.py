@@ -212,3 +212,39 @@ def test_import_visualgenome(spark):
     assert near["node2;label"] == '"grass"'
     assert near["source"] == '"VG"'
     assert len(got) == 3
+
+
+def test_stringify_col_matches_python_stringify(spark):
+    """The JVM escape chain (cskg.stringify_col) and the Python value
+    kernel (values.stringify) implement the same translate table —
+    pin them equal over adversarial inputs."""
+    from kgtk_spark.sources.cskg import stringify_col
+    from kgtk_spark.values import stringify
+    from pyspark.sql import functions as F
+
+    samples = [
+        "plain",
+        'quo"te',
+        "single'quote",
+        "back\\slash",
+        "pipe|sep",
+        "tab\there",
+        "new\nline",
+        "cr\rreturn",
+        "bell\x07",
+        "bs\x08",
+        "ff\x0c",
+        "vt\x0b",
+        'mix\\"\'|\t\n\\\\end',
+        "",
+        "\\",
+        "||",
+        '"""',
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", stringify_col(F.col("s")).alias("out")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == stringify(s), (s, got[i], stringify(s))
