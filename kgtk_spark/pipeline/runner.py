@@ -17,7 +17,6 @@ changing an upstream stage or a config invalidates everything below it.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 

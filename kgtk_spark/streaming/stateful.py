@@ -11,7 +11,7 @@ continuous micro-batch triggers; state is checkpointed with the query.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
