@@ -117,6 +117,17 @@ def hashed_shingles(text_col: Column, n: int) -> Column:
     return gs_udf(token_hashes(text_col))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input has
+    fewer partitions (a single small parquet file scans as ONE
+    partition, which would run the signature UDFs single-threaded).
+    At corpus scale inputs already carry many partitions — no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
@@ -137,6 +148,7 @@ def _shingles_and_sigs(
     (numpy rolling combine) and the MinHash signature (numpy
     permutation-min matrix op). No per-shingle Python, no re-tokenize
     between signature and verification."""
+    df = _spread(df)
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
     empty_sig = [0] * num_hashes
 
@@ -356,6 +368,7 @@ def simhash_signatures(
     higher-order-function expressions don't codegen.
     """
     bits = SIMHASH_BITS
+    df = _spread(df)
     d = df.select(
         F.col(id_col),
         F.expr(
@@ -440,7 +453,7 @@ def ngram_jaccard_pairs(
         if hashed
         else word_ngrams(F.col(text_col), n)
     )
-    sh = df.select(F.col(id_col), grams.alias("sh"))
+    sh = _spread(df).select(F.col(id_col), grams.alias("sh"))
     return _jaccard_from_shingles(sh, id_col, threshold, df_cap, log_skipped)
 
 
