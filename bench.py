@@ -75,6 +75,12 @@ def main() -> None:
     # Untimed warmup: JVM/codegen/Python-worker startup shouldn't be
     # charged to whichever query happens to run first.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")  # spins up the Python workers
+    spark.range(0, cpus * 4, 1, cpus).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
