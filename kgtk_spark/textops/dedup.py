@@ -117,15 +117,7 @@ def hashed_shingles(text_col: Column, n: int) -> Column:
     return gs_udf(token_hashes(text_col))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input has
-    fewer partitions (a single small parquet file scans as ONE
-    partition, which would run the signature UDFs single-threaded).
-    At corpus scale inputs already carry many partitions — no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from kgtk_spark.indexing import spread_to_parallelism as _spread
 
 
 def exact_dedup(
