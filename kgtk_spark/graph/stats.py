@@ -336,3 +336,24 @@ def top_relations(edges: DataFrame, n: int = 10) -> DataFrame:
         .orderBy(F.desc("freq"), "relation")
         .limit(n)
     )
+
+
+def degree_summary(edges: DataFrame) -> DataFrame:
+    """Mean / stddev / max of in-, out- and total degree — the summary
+    block graph-statistics logs (kgtk/gt/analysis_utils.py:27-45,
+    kgtk/cli/graph_statistics.py:126-147). One row per degree kind."""
+    d = degrees(edges)
+    parts = []
+    for kind in ("vertex_in_degree", "vertex_out_degree", "vertex_degree"):
+        parts.append(
+            d.agg(
+                F.lit(kind).alias("degree_kind"),
+                F.round(F.avg(kind), 6).alias("mean"),
+                F.round(F.stddev_pop(kind), 6).alias("stddev"),
+                F.max(kind).cast("long").alias("max"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

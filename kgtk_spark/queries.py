@@ -431,6 +431,35 @@ def q_degrees(spark, sf_dir):
     return degrees(e)
 
 
+_DEGREE_CTE = (
+    f"WITH {EDGES_CTE}, e AS (SELECT node1, node2 FROM edges WHERE label = 'contains'), "
+    "o AS (SELECT node1 AS node, COUNT(*) AS vertex_out_degree FROM e GROUP BY 1), "
+    "i AS (SELECT node2 AS node, COUNT(*) AS vertex_in_degree FROM e GROUP BY 1), "
+    "d AS (SELECT COALESCE(vertex_in_degree, 0) AS ind, "
+    "COALESCE(vertex_out_degree, 0) AS outd, "
+    "COALESCE(vertex_in_degree, 0) + COALESCE(vertex_out_degree, 0) AS totd "
+    "FROM o FULL OUTER JOIN i ON o.node = i.node)"
+)
+
+
+@query(
+    "graph_degree_summary",
+    f"{_DEGREE_CTE} "
+    "SELECT 'vertex_in_degree' AS degree_kind, ROUND(AVG(ind), 6) AS mean, "
+    "ROUND(stddev_pop(ind), 6) AS stddev, CAST(MAX(ind) AS BIGINT) AS max FROM d "
+    "UNION ALL SELECT 'vertex_out_degree', ROUND(AVG(outd), 6), "
+    "ROUND(stddev_pop(outd), 6), CAST(MAX(outd) AS BIGINT) FROM d "
+    "UNION ALL SELECT 'vertex_degree', ROUND(AVG(totd), 6), "
+    "ROUND(stddev_pop(totd), 6), CAST(MAX(totd) AS BIGINT) FROM d",
+)
+def q_degree_summary(spark, sf_dir):
+    """Degree mean/stddev/max summary (kgtk/gt/analysis_utils.py:27-45)."""
+    from kgtk_spark.graph.stats import degree_summary
+
+    e = tpch_edges(spark, sf_dir).filter(F.col("label") == "contains")
+    return degree_summary(e)
+
+
 @query(
     "graph_connected_components",
     f"WITH RECURSIVE {EDGES_CTE}, "
