@@ -129,3 +129,29 @@ def test_repetition_signals_scan_prunes_columns(spark, tmp_path_factory):
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     # only doc_id + text are read, not lang/source/n_chars
     assert read and "lang" not in read[0] and "n_chars" not in read[0], read
+
+
+def test_range_join_is_equi_join_no_python(spark):
+    from kgtk_spark.textops.olap import range_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "user_id long, ts_s string"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "user_id long, s string, e string",
+    ).select("user_id", F.to_timestamp("s").alias("st"), F.to_timestamp("e").alias("en"))
+    plan = plan_of(range_join(ev, iv, "ts", "st", "en", on=["user_id"]))
+    # the bucket trick must yield an equi-join, not a nested-loop range join
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_kmv_sketch_no_python_in_plan(spark):
+    from kgtk_spark.textops.sketches import kmv_distinct
+
+    df = spark.createDataFrame([("a", "u1")], "grp string, uid string")
+    plan = plan_of(kmv_distinct(df, ["grp"], "uid", k=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "WindowGroupLimit" in plan or "Window" in plan, plan
