@@ -85,3 +85,38 @@ def test_corrupted_fixture_routes_to_reject(spark):
     with open(path, encoding="utf-8") as fp:
         n_data = len(fp.read().splitlines()) - 1
     assert good.count() + rejects.count() == n_data
+
+
+def test_add_id_reference_file_parity(spark):
+    """Mirror kgtk/tests/test_add_id.py expectations on the reference's
+    own files: default style yields exactly {E1..EN}; overwrite-id with
+    node1-label-node2 rewrites every id to the content form."""
+    from kgtk_spark.operators import add_id
+
+    no_id = read_kgtk_tsv(spark, os.path.join(REF_DATA, "sample_kgtk_edge_file_no_id.tsv"))
+    n = no_id.count()
+    out = add_id(no_id)
+    ids = sorted(r["id"] for r in out.select("id").collect())
+    assert ids == sorted(f"E{i + 1}" for i in range(n))
+    assert out.columns[0] == "id"  # KGTK puts id first when adding it
+
+    with_id = read_kgtk_tsv(spark, os.path.join(REF_DATA, "sample_kgtk_edge_file_with_id.tsv"))
+    out2 = add_id(with_id, style="node1-label-node2", overwrite=True)
+    for r in out2.collect():
+        assert r["id"] == f'{r["node1"]}-{r["label"]}-{r["node2"]}'
+
+
+def test_cat_reference_file_parity(spark):
+    """Mirror kgtk/tests/test_cat.py: cat of one file preserves rows and
+    columns; edge+node cat merges columns with missing filled empty."""
+    from kgtk_spark.operators import kgtk_cat
+
+    edge = read_kgtk_tsv(spark, os.path.join(REF_DATA, "sample_kgtk_edge_file.tsv"))
+    out = kgtk_cat(edge)
+    assert out.count() == edge.count()
+    assert out.columns == edge.columns
+
+    nodes = read_kgtk_tsv(spark, os.path.join(REF_DATA, "sample_kgtk_nodes.tsv"))
+    both = kgtk_cat(edge, nodes)
+    assert both.count() == edge.count() + nodes.count()
+    assert set(both.columns) >= set(edge.columns) | set(nodes.columns)
