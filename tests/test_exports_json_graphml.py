@@ -150,3 +150,47 @@ def test_tsv_csv_variants(spark):
     assert line("tsv-csvlike") == 'Q1\t"say ""hi"" a\\|b"\t2020-01-01\tx,y'
     # csv: comma separator, bare symbol with comma gets quoted
     assert line("csv") == 'Q1,"say ""hi"" a|b",2020-01-01,"x,y"'
+
+
+def test_wikidata_json_generator_golden_P10(spark):
+    """Structural parity with the reference's golden P100.jsonl
+    (kgtk/tests/test_json_generation.py): same labels/descriptions,
+    same alias multiset, same claims per property (order-insensitive —
+    the reference emits input order, we emit deterministic order)."""
+    import os
+
+    from kgtk_spark.schema import read_kgtk_tsv
+    from kgtk_spark.sources.wikidata_json import generate_wikidata_json
+    from tests.conftest import REF_DATA
+
+    edges = read_kgtk_tsv(spark, os.path.join(REF_DATA, "P10.tsv"), mode="raw")
+    props = read_kgtk_tsv(
+        spark, os.path.join(REF_DATA, "wikidata_properties.tsv"), mode="raw"
+    ).select("node1", "node2")
+    out = generate_wikidata_json(
+        edges,
+        props,
+        label_set=("label",),
+        description_set=("descriptions",),
+        alias_set=("aliases",),
+    )
+    docs = {r["id"]: json.loads(r["doc"]) for r in out.collect()}
+    golden = json.loads(
+        open(os.path.join(REF_DATA, "P100.jsonl"), encoding="utf-8").readline()
+    )["P10"]
+    mine = docs["P10"]
+
+    assert mine["labels"] == golden["labels"]
+    assert mine["descriptions"] == golden["descriptions"]
+    # aliases: list order is input-order in the reference; compare multisets
+    for lang, entries in golden["aliases"].items():
+        assert sorted(map(json.dumps, mine["aliases"][lang])) == sorted(
+            map(json.dumps, entries)
+        )
+    assert set(mine["claims"]) == set(golden["claims"])
+    for prop, claims in golden["claims"].items():
+        g = sorted(json.dumps(c, sort_keys=True) for c in claims)
+        m = sorted(json.dumps(c, sort_keys=True) for c in mine["claims"][prop])
+        assert m == g, prop
+    for k in ("type", "datatype", "id", "pageid", "ns", "title", "lastrevid", "sitelinks"):
+        assert mine[k] == golden[k], k

@@ -120,3 +120,25 @@ def test_cat_reference_file_parity(spark):
     both = kgtk_cat(edge, nodes)
     assert both.count() == edge.count() + nodes.count()
     assert set(both.columns) >= set(edge.columns) | set(nodes.columns)
+
+
+def test_normalize_nodes_reference_goldens(spark):
+    """Golden counts from kgtk/tests/test_normalize_nodes.py: the node
+    sample normalizes to 52 edges (lists split), Q183 carries the three
+    language-qualified labels, alias-only yields 24 rows."""
+    from kgtk_spark.operators import normalize_nodes
+
+    nodes = read_kgtk_tsv(spark, os.path.join(REF_DATA, "sample_kgtk_nodes.tsv"))
+    out = normalize_nodes(nodes)
+    assert out.count() == 52
+    q183 = {
+        r["node2"]
+        for r in out.filter((F.col("node1") == "Q183") & (F.col("label") == "label")).collect()
+    }
+    assert "'Germany'@en" in q183
+    assert "'Германия'@ru" in q183
+    assert "'Німеччина'@uk" in q183
+
+    alias_only = normalize_nodes(nodes, columns=["alias"])
+    assert alias_only.count() == 24
+    assert {r["label"] for r in alias_only.collect()} == {"alias"}
