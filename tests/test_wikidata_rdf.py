@@ -133,3 +133,90 @@ def test_prefix_header():
     hdr = serialize_prefixes()
     assert "@prefix wd: <http://www.wikidata.org/entity/> ." in hdr
     assert "@prefix wikibase: <http://wikiba.se/ontology#> ." in hdr
+
+
+def _parse_golden_ttl(path):
+    """Tiny Turtle reader scoped to the golden file's constructs:
+    subject blocks with ';'-continued predicates and ','-continued
+    objects; prefixed names, <IRI>s, and "literal"^^type / @lang."""
+    import re
+
+    triples = set()
+    text = open(path, encoding="utf-8").read()
+    # strip prefixes; split statement blocks on blank-line boundaries
+    body = "\n".join(
+        l for l in text.splitlines() if not l.startswith("@prefix")
+    )
+    # tokenize objects: quoted literal (with escapes) or non-space token
+    obj_re = re.compile(r'("(?:[^"\\]|\\.)*"(?:\^\^[^\s,;]+|@[\w-]+)?|[^\s,;]+)')
+    for block in re.split(r"\s*\.\s*\n", body):
+        block = block.strip()
+        if not block:
+            continue
+        # subject = first token
+        m = re.match(r"(\S+)\s+(.*)", block, re.S)
+        if not m:
+            continue
+        subj, rest = m.group(1), m.group(2)
+        for pred_part in re.split(r"\s*;\s*\n?", rest):
+            pred_part = pred_part.strip()
+            if not pred_part:
+                continue
+            pm = re.match(r"(\S+)\s+(.*)", pred_part, re.S)
+            if not pm:
+                continue
+            pred, objs = pm.group(1), pm.group(2)
+            if pred == "a":
+                pred = "rdf:type"
+            for om in obj_re.finditer(objs):
+                triples.add((subj, pred, om.group(1).strip()))
+    return triples
+
+
+def test_rdf_generator_matches_golden_ttl_families(spark):
+    """Triple-set parity with the reference's P10_truthy.ttl for every
+    predicate family both implementations emit: labels/aliases/
+    descriptions, the wikibase:Property system block, p:/wdt:/ps:
+    statements, ranks and typing. (The golden file also carries
+    etk-internal triples — createdBy, wdtn:/psn:/psv: normalized-value
+    nodes — which are serializer internals, excluded by family.)"""
+    import os
+
+    from kgtk_spark.schema import read_kgtk_tsv
+    from kgtk_spark.sources.wikidata_rdf import generate_wikidata_triples
+    from tests.conftest import REF_DATA
+
+    edges = read_kgtk_tsv(spark, os.path.join(REF_DATA, "P10.tsv"), mode="raw")
+    props = read_kgtk_tsv(
+        spark, os.path.join(REF_DATA, "wikidata_properties.tsv"), mode="raw"
+    ).select("node1", "node2")
+    mine = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in generate_wikidata_triples(
+            edges, props, label_set=("label",), description_set=("descriptions",),
+            alias_set=("aliases",),
+        ).collect()
+    }
+    golden = _parse_golden_ttl(os.path.join(REF_DATA, "P10_truthy.ttl"))
+
+    def family(triples, preds=None, pred_prefixes=()):
+        out = set()
+        for s, p, o in triples:
+            if (preds and p in preds) or any(p.startswith(x) for x in pred_prefixes):
+                out.add((s, p, o))
+        return out
+
+    # label family + property system block + statement families
+    fams = dict(
+        labels=dict(preds={"rdfs:label", "schema:name", "skos:prefLabel",
+                           "skos:altLabel", "schema:description"}),
+        system=dict(preds={"wikibase:propertyType", "wikibase:claim",
+                           "wikibase:directClaim", "wikibase:statementProperty",
+                           "wikibase:qualifier", "wikibase:reference",
+                           "wikibase:novalue", "wikibase:rank"}),
+        claims=dict(pred_prefixes=("p:", "wdt:", "ps:")),
+    )
+    for name, kw in fams.items():
+        g = family(golden, kw.get("preds"), kw.get("pred_prefixes", ()))
+        m = family(mine, kw.get("preds"), kw.get("pred_prefixes", ()))
+        assert m == g, (name, sorted(m ^ g)[:6])
