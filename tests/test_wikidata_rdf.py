@@ -220,3 +220,40 @@ def test_rdf_generator_matches_golden_ttl_families(spark):
         g = family(golden, kw.get("preds"), kw.get("pred_prefixes", ()))
         m = family(mine, kw.get("preds"), kw.get("pred_prefixes", ()))
         assert m == g, (name, sorted(m ^ g)[:6])
+
+
+def test_rdf_generator_matches_golden_ttl_q57160439(spark):
+    """Same family parity on the reference's item-entity golden
+    (labels, monolingual title, time, item and string claims)."""
+    import os
+
+    from kgtk_spark.schema import read_kgtk_tsv
+    from kgtk_spark.sources.wikidata_rdf import generate_wikidata_triples
+    from tests.conftest import REF_DATA
+
+    edges = read_kgtk_tsv(spark, os.path.join(REF_DATA, "Q57160439.tsv"), mode="raw")
+    props = read_kgtk_tsv(
+        spark, os.path.join(REF_DATA, "wikidata_properties.tsv"), mode="raw"
+    ).select("node1", "node2")
+    mine = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in generate_wikidata_triples(
+            edges, props, label_set=("label",), description_set=("descriptions",),
+            alias_set=("aliases",),
+        ).collect()
+    }
+    golden = _parse_golden_ttl(os.path.join(REF_DATA, "Q57160439_truthy.ttl"))
+
+    def fam(triples, preds=None, prefixes=()):
+        return {
+            (s, p, o)
+            for s, p, o in triples
+            if (preds and p in preds) or any(p.startswith(x) for x in prefixes)
+        }
+
+    label_preds = {"rdfs:label", "schema:name", "skos:prefLabel", "skos:altLabel",
+                   "schema:description"}
+    assert fam(mine, preds=label_preds) == fam(golden, preds=label_preds)
+    m = fam(mine, prefixes=("p:", "wdt:", "ps:"))
+    g = fam(golden, prefixes=("p:", "wdt:", "ps:"))
+    assert m == g, sorted(m ^ g)[:8]
