@@ -150,6 +150,11 @@ def _datavalue(node2: Column, dtype: Column, prop: Column) -> Column:
         _json_quote(lang),
         F.lit('},"type":"monolingualtext"}'),
     )
+    # string datavalues run process_text_string (KGTK quotes stripped,
+    # generator.py:1038-1046); external-id/url keep node2 verbatim
+    # (:1066-1101).
+    s_text, _s_lang = _text_and_lang(node2)
+    string_v = F.concat(F.lit('{"value":'), _json_quote(s_text), F.lit(',"type":"string"}'))
     plain = F.concat(F.lit('{"value":'), _json_quote(node2), F.lit(',"type":"string"}'))
 
     return (
@@ -158,12 +163,18 @@ def _datavalue(node2: Column, dtype: Column, prop: Column) -> Column:
         .when(dtype == "globe-coordinate", coord)
         .when(dtype == "quantity", quantity)
         .when(dtype == "monolingualtext", mono)
-        .otherwise(plain)  # string / external-id / url
+        .when(dtype == "string", string_v)
+        .otherwise(plain)  # external-id / url
     )
 
 
 def _snak(node2: Column, dtype: Column, prop: Column) -> Column:
     dv = _datavalue(node2, dtype, prop)
+    # the reference's coordinate builder hardcodes 'globecoordinate'
+    # (no hyphen) as the snak datatype (generator.py:896-917)
+    snak_dtype = F.when(
+        dtype == "globe-coordinate", F.lit("globecoordinate")
+    ).otherwise(dtype)
     return F.when(
         dv.isNotNull(),
         F.concat(
@@ -172,7 +183,7 @@ def _snak(node2: Column, dtype: Column, prop: Column) -> Column:
             F.lit(',"hash":"","datavalue":'),
             dv,
             F.lit(',"datatype":'),
-            _json_quote(dtype),
+            _json_quote(snak_dtype),
             F.lit("}"),
         ),
     )
@@ -197,9 +208,15 @@ def generate_wikidata_json(
     description_set: tuple[str, ...] = ("descriptions",),
     alias_set: tuple[str, ...] = ("aliases",),
     rank: str = "normal",
+    use_rank_column: bool = False,
 ) -> DataFrame:
     """KGTK edge file (node1, label, node2, id) → (id, doc) MediaWiki
-    entity JSON documents."""
+    entity JSON documents.
+
+    ``use_rank_column=True`` is the reference's ``has_rank`` mode:
+    each statement takes its own rank from the edge file's ``rank``
+    column; the default ignores the column (matching the reference
+    default and its golden outputs) and stamps the constant ``rank``."""
     props = F.broadcast(
         property_types.select(
             F.col("node1").alias("__prop__"), F.col("node2").alias("__kgtk_dt__")
@@ -256,7 +273,11 @@ def generate_wikidata_json(
         F.lit(',"type":"statement","id":'),
         _json_quote(F.concat(F.col("node1"), F.col("label"), F.col("node2"))),
         F.lit(',"rank":'),
-        _json_quote(F.lit(rank)),
+        _json_quote(
+            F.coalesce(F.col("rank"), F.lit(rank))
+            if use_rank_column and "rank" in edges.columns
+            else F.lit(rank)
+        ),
         F.lit(',"references":[],"qualifiers":{'),
         F.coalesce(F.col("__quals__"), F.lit("")),
         F.lit('},"qualifiers-order":['),

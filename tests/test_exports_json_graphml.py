@@ -194,3 +194,58 @@ def test_wikidata_json_generator_golden_P10(spark):
         assert m == g, prop
     for k in ("type", "datatype", "id", "pageid", "ns", "title", "lastrevid", "sitelinks"):
         assert mine[k] == golden[k], k
+
+
+def test_wikidata_json_ranked_golden(spark):
+    """has_rank mode vs the reference's golden ranked0.jsonl: per-edge
+    golden used has_rank=False, so the default constant-rank mode must
+    match claim-for-claim; use_rank_column=True then flows per-edge
+    ranks through."""
+    import os
+
+    from kgtk_spark.schema import read_kgtk_tsv
+    from kgtk_spark.sources.wikidata_json import generate_wikidata_json
+    from tests.conftest import REF_DATA
+
+    edges = read_kgtk_tsv(spark, os.path.join(REF_DATA, "ranked_example.tsv"), mode="raw")
+    props = read_kgtk_tsv(
+        spark, os.path.join(REF_DATA, "wikidata_properties.tsv"), mode="raw"
+    ).select("node1", "node2")
+    out = generate_wikidata_json(
+        edges, props, label_set=("label",), description_set=("descriptions",),
+        alias_set=("aliases",),
+    )
+    docs = {r["id"]: json.loads(r["doc"]) for r in out.collect()}
+    golden = json.loads(
+        open(os.path.join(REF_DATA, "ranked0.jsonl"), encoding="utf-8").readline()
+    )
+    gid = list(golden)[0]
+    g = golden[gid]
+    m = docs[gid]
+    shared = set(m["claims"]) & set(g["claims"])
+    assert len(shared) >= 50
+    def canon(claim):
+        # qualifier arrays are input-ordered in the reference, sorted
+        # in the distributed engine — normalize before comparing
+        c = json.loads(json.dumps(claim))
+        for qp, snaks in c.get("qualifiers", {}).items():
+            c["qualifiers"][qp] = sorted(snaks, key=lambda s: json.dumps(s, sort_keys=True))
+        return json.dumps(c, sort_keys=True)
+
+    for prop in sorted(shared):
+        gc = sorted(canon(c) for c in g["claims"][prop])
+        mc = sorted(canon(c) for c in m["claims"][prop])
+        assert gc == mc, prop
+
+    # has_rank mode: per-edge ranks flow through
+    ranked = generate_wikidata_json(
+        edges, props, label_set=("label",), description_set=("descriptions",),
+        alias_set=("aliases",), use_rank_column=True,
+    )
+    rdocs = {r["id"]: json.loads(r["doc"]) for r in ranked.collect()}
+    ranks = {
+        c["rank"]
+        for claims in rdocs[gid]["claims"].values()
+        for c in claims
+    }
+    assert "preferred" in ranks  # ranked_example.tsv carries preferred rows
