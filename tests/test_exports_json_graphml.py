@@ -249,3 +249,33 @@ def test_wikidata_json_ranked_golden(spark):
         for c in claims
     }
     assert "preferred" in ranks  # ranked_example.tsv carries preferred rows
+
+
+def test_wikidata_json_q57160439_golden(spark):
+    """Third golden (Q571604390.jsonl): every claim matches."""
+    import os
+
+    from kgtk_spark.schema import read_kgtk_tsv
+    from kgtk_spark.sources.wikidata_json import generate_wikidata_json
+    from tests.conftest import REF_DATA
+
+    edges = read_kgtk_tsv(spark, os.path.join(REF_DATA, "Q57160439.tsv"), mode="raw")
+    props = read_kgtk_tsv(
+        spark, os.path.join(REF_DATA, "wikidata_properties.tsv"), mode="raw"
+    ).select("node1", "node2")
+    out = generate_wikidata_json(
+        edges, props, label_set=("label",), description_set=("descriptions",),
+        alias_set=("aliases",),
+    )
+    docs = {r["id"]: json.loads(r["doc"]) for r in out.collect()}
+    golden = json.loads(
+        open(os.path.join(REF_DATA, "Q571604390.jsonl"), encoding="utf-8").readline()
+    )
+    gid = list(golden)[0]
+    g, m = golden[gid], docs[gid]
+    assert m["labels"] == g["labels"]
+    assert set(m["claims"]) == set(g["claims"])
+    for p in g["claims"]:
+        gc = sorted(json.dumps(c, sort_keys=True) for c in g["claims"][p])
+        mc = sorted(json.dumps(c, sort_keys=True) for c in m["claims"][p])
+        assert gc == mc, p
