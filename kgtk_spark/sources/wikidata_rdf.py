@@ -402,3 +402,33 @@ def serialize_prefixes() -> str:
         )
         + "\n"
     )
+
+
+def triples_to_turtle_lines(triples: DataFrame) -> DataFrame:
+    """(subject, predicate, object) → one N-Triples-style Turtle line
+    per row (column ``line``), prefixed-name terms kept compact.
+
+    Line-oriented, so the write distributes (``df.write.text``); prepend
+    :func:`serialize_prefixes` for a complete Turtle document. Terms
+    arriving from :func:`generate_wikidata_triples` are already valid
+    Turtle tokens (CURIEs, typed/tagged literals, <IRI>s)."""
+    return triples.select(
+        F.concat_ws(" ", "subject", "predicate", "object", F.lit(".")).alias("line")
+    )
+
+
+def write_turtle(triples: DataFrame, path: str, single_file: bool = False) -> None:
+    """Write a Turtle file: prefix header + one triple per line.
+
+    The header rides as a tiny DataFrame unioned in front; with
+    ``single_file`` the whole output coalesces to one part (the
+    reference writes one stream; at scale keep it partitioned and cat
+    the prefix file in front)."""
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [(l,) for l in serialize_prefixes().splitlines()], "line string"
+    )
+    out = header.unionByName(triples_to_turtle_lines(triples))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)

@@ -169,7 +169,9 @@ def _parse_golden_ttl(path):
             if pred == "a":
                 pred = "rdf:type"
             for om in obj_re.finditer(objs):
-                triples.add((subj, pred, om.group(1).strip()))
+                tok = om.group(1).strip()
+                if tok != ".":  # statement terminator on unsplit last lines
+                    triples.add((subj, pred, tok))
     return triples
 
 
@@ -257,3 +259,24 @@ def test_rdf_generator_matches_golden_ttl_q57160439(spark):
     m = fam(mine, prefixes=("p:", "wdt:", "ps:"))
     g = fam(golden, prefixes=("p:", "wdt:", "ps:"))
     assert m == g, sorted(m ^ g)[:8]
+
+
+def test_write_turtle_roundtrip(spark, tmp_path_factory):
+    """Turtle writer output parses back (via the same scoped reader the
+    golden tests use) to exactly the generated triple set."""
+    import glob
+    import os
+
+    edges = spark.createDataFrame(
+        [("Q1", "P1629", "Q2", "Q1-P1629-1"), ("Q1", "label", "'one'@en", "Q1-l-1")],
+        "node1 string, label string, node2 string, id string",
+    )
+    from kgtk_spark.sources.wikidata_rdf import generate_wikidata_triples, write_turtle
+
+    triples = generate_wikidata_triples(edges, _props(spark))
+    path = str(tmp_path_factory.mktemp("ttl") / "out.ttl")
+    write_turtle(triples, path, single_file=True)
+    part = glob.glob(os.path.join(path, "part-*"))[0]
+    parsed = _parse_golden_ttl(part)
+    expected = {(r["subject"], r["predicate"], r["object"]) for r in triples.collect()}
+    assert parsed == expected
