@@ -74,7 +74,7 @@ def _components_fixpoint(pairs: DataFrame, max_iterations: int = 50) -> DataFram
 
 
 def components_auto(
-    pairs: DataFrame, driver_threshold: int = 100_000
+    pairs: DataFrame, driver_threshold: int = 100_000, max_iterations: int = 50
 ) -> DataFrame:
     """(node, component = lexicographically-min member) with an
     adaptive strategy: duplicate/sameAs pair sets are usually tiny
@@ -91,7 +91,7 @@ def components_auto(
             [], "node string, component string"
         )
     if n > driver_threshold:
-        return _components_fixpoint(pairs)
+        return _components_fixpoint(pairs, max_iterations=max_iterations)
 
     parent: dict = {}
 
@@ -120,14 +120,21 @@ def connected_components(
     edges: DataFrame,
     properties: list[str] | None = None,
     minimum_cluster_size: int = 2,
-    cluster_name_method: str = "lowest",
+    cluster_name_method: str = "hash",
     cluster_name_prefix: str = "CLUS",
+    cluster_name_separator: str = "+",
+    cluster_name_zfill: int = 4,
     max_iterations: int = 50,
 ) -> DataFrame:
     """Weak connected components over a KGTK edge file.
 
     Returns KGTK edges ``(node1, 'connected_component', node2=cluster_id)``
     sorted by node, matching kgtk/gt/connected_components.py:187-189.
+    All ten reference naming methods (:21-31,:76-130) are supported;
+    the default is ``hash``, matching DEFAULT_CLUSTER_NAME_METHOD.
+    ``first``/``last`` use first-seen input order (node1 then node2 per
+    edge row) — order-dependent, and documented "unstable" by the
+    reference itself.
     """
     n1 = resolve_column(edges.columns, "node1") or "node1"
     lb = resolve_column(edges.columns, "label") or "label"
@@ -138,7 +145,7 @@ def connected_components(
         src = src.filter(F.col(lb).isin(properties))
 
     pairs = src.select(F.col(n1).alias("u"), F.col(n2).alias("v"))
-    assign = components_auto(pairs)
+    assign = components_auto(pairs, max_iterations=max_iterations)
 
     # Cluster-size filter (isolated nodes never appear: they have no edges).
     sizes = assign.groupBy("component").agg(F.count(F.lit(1)).alias("__size__"))
@@ -148,41 +155,96 @@ def connected_components(
         .drop("__size__")
     )
 
-    # Cluster naming (kgtk/gt/connected_components.py:76-130).
-    if cluster_name_method == "lowest":
+    # Cluster naming (kgtk/gt/connected_components.py:76-130). Each
+    # method is one aggregate over the assignment + one key join — no
+    # per-component driver loop.
+    method = cluster_name_method
+    if method == "lowest":
+        # the fixpoint representative IS the lexicographic minimum
         named = assign.select(F.col("node"), F.col("component").alias("cluster"))
-    elif cluster_name_method == "highest":
+    elif method == "highest":
         names = assign.groupBy("component").agg(F.max("node").alias("cluster"))
         named = assign.join(names, "component").select("node", "cluster")
-    elif cluster_name_method == "cat":
+    elif method == "cat":
         names = assign.groupBy("component").agg(
-            F.array_join(F.array_sort(F.collect_set("node")), "+").alias("cluster")
-        )
-        named = assign.join(names, "component").select("node", "cluster")
-    elif cluster_name_method == "hash":
-        # md5 + base64 of the '+'-joined sorted member list
-        # (kgtk/gt/connected_components.py:124-126).
-        names = assign.groupBy("component").agg(
-            F.base64(
-                F.unhex(F.md5(F.array_join(F.array_sort(F.collect_set("node")), "+")))
+            F.array_join(
+                F.array_sort(F.collect_set("node")), cluster_name_separator
             ).alias("cluster")
         )
         named = assign.join(names, "component").select("node", "cluster")
-    elif cluster_name_method == "numbered":
+    elif method == "hash":
+        # prefix + base64(md5(separator-joined sorted member list))
+        # (kgtk/gt/connected_components.py:124-126).
+        names = assign.groupBy("component").agg(
+            F.concat(
+                F.lit(cluster_name_prefix),
+                F.base64(
+                    F.unhex(
+                        F.md5(
+                            F.array_join(
+                                F.array_sort(F.collect_set("node")),
+                                cluster_name_separator,
+                            )
+                        )
+                    )
+                ),
+            ).alias("cluster")
+        )
+        named = assign.join(names, "component").select("node", "cluster")
+    elif method in ("shortest", "longest"):
+        # shortest: min length, ties lowest; longest: max length, ties
+        # highest (:103-119) — one min_by/max_by on a (length, node)
+        # struct (struct ordering is field-lexicographic).
+        key = F.struct(F.length("node").alias("l"), F.col("node").alias("n"))
+        agg = F.min_by("node", key) if method == "shortest" else F.max_by("node", key)
+        names = assign.groupBy("component").agg(agg.alias("cluster"))
+        named = assign.join(names, "component").select("node", "cluster")
+    elif method in ("first", "last"):
+        # first/last vertex in first-seen input order (the reference's
+        # graph-tool vertex-index order: node1 then node2 per row).
+        from kgtk_spark.indexing import zip_with_index
+
+        ordered = zip_with_index(
+            src.select(F.col(n1).alias("a"), F.col(n2).alias("b")), "__ord__"
+        )
+        seen = (
+            ordered.select(F.col("a").alias("node"), (F.col("__ord__") * 2).alias("o"))
+            .union(
+                ordered.select(
+                    F.col("b").alias("node"), (F.col("__ord__") * 2 + 1).alias("o")
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("o").alias("__seen__"))
+        )
+        with_ord = assign.join(seen, "node")
+        agg = (
+            F.min_by("node", F.col("__seen__"))
+            if method == "first"
+            else F.max_by("node", F.col("__seen__"))
+        )
+        names = with_ord.groupBy("component").agg(agg.alias("cluster"))
+        named = assign.join(names, "component").select("node", "cluster")
+    elif method in ("numbered", "prefixed"):
         # Deterministic numbering in component order without an
         # unpartitioned window: global sort (range partitioner) + the
         # two-phase zip_with_index, so numbering millions of components
-        # never funnels through one task.
+        # never funnels through one task. NUMBERED is the bare number
+        # (the reference passes graph-tool's component id through,
+        # :79-81); PREFIXED zfills it under the prefix (:90-91).
         from kgtk_spark.indexing import zip_with_index
 
+        num = F.col("__cn__").cast("string")
+        if method == "prefixed":
+            # zfill semantics: lpad truncates when the input is longer
+            # than the pad width, Python's zfill never does
+            padded = F.when(
+                F.length(num) >= cluster_name_zfill, num
+            ).otherwise(F.lpad(num, cluster_name_zfill, "0"))
+            num = F.concat(F.lit(cluster_name_prefix), padded)
         names = zip_with_index(
             assign.select("component").distinct().orderBy("component"), "__cn__"
-        ).select(
-            "component",
-            F.concat(F.lit(cluster_name_prefix), F.col("__cn__").cast("string")).alias(
-                "cluster"
-            ),
-        )
+        ).select("component", num.alias("cluster"))
         named = assign.join(names, "component").select("node", "cluster")
     else:
         raise ValueError(f"unknown cluster_name_method {cluster_name_method!r}")

@@ -41,15 +41,23 @@ def rename_columns(
     return out
 
 
-def reorder_columns(df: DataFrame, order: list[str], trim: bool = False) -> DataFrame:
+def reorder_columns(
+    df: DataFrame,
+    order: list[str],
+    trim: bool = False,
+    fixed_descending_ranges: bool = False,
+) -> DataFrame:
     """Reorder with ``...`` ("all remaining, original order") and the
     ``..`` range operator ("all columns between the two neighbors",
     kgtk/cli/reorder_columns.py:131-190).
 
     ``["id", "node1", "..", "node2"]`` expands the range to every
-    column between node1 and node2 in the input header. A descending
-    range expands in reverse header order (the reference's descending
-    loop is inert — a bug; the documented intent is implemented here).
+    column between node1 and node2 in the input header. A DESCENDING
+    range expands to nothing by default — the reference's descending
+    loop is inert (``range(lo+1, hi)`` with hi < lo), so the skipped
+    columns fall through to the remaining/``...`` set; pass
+    ``fixed_descending_ranges=True`` to expand in reverse header order
+    instead (the documented intent).
     """
     colmap = {c: i for i, c in enumerate(df.columns)}
     final: list[str] = []
@@ -75,12 +83,13 @@ def reorder_columns(df: DataFrame, order: list[str], trim: bool = False) -> Data
         if saw_ranger:
             saw_ranger = False
             lo, hi = colmap[final[-1]], colmap[name]
-            step = 1 if hi > lo else -1
-            for idx in range(lo + step, hi, step):
-                mid = df.columns[idx]
-                if mid in final:
-                    raise ValueError(f"column '{mid}' duplicated in the range")
-                final.append(mid)
+            if hi > lo or fixed_descending_ranges:
+                step = 1 if hi > lo else -1
+                for idx in range(lo + step, hi, step):
+                    mid = df.columns[idx]
+                    if mid in final:
+                        raise ValueError(f"column '{mid}' duplicated in the range")
+                    final.append(mid)
         final.append(name)
     if saw_ranger:
         raise ValueError("'..' may not end the list")

@@ -63,9 +63,11 @@ def _repair_date(c: Column, o: ValueRepairOptions) -> Column:
         ).otherwise(out)
     if o.end_of_day_as_next_day:
         ymd = F.regexp_extract(out, r"^\^([0-9]{4}-[0-9]{2}-[0-9]{2})T24:00(:00)?", 1)
-        rolled = F.date_format(F.date_add(F.to_date(ymd), 1), "yyyy-MM-dd")
+        rolled = F.date_format(F.date_add(F.try_to_date(ymd), 1), "yyyy-MM-dd")
+        # rolled.isNotNull(): shape-valid but calendar-invalid dates
+        # (^2020-02-30T24:00) pass through unchanged instead of nulling
         out = F.when(
-            is_date & (ymd != ""),
+            is_date & (ymd != "") & rolled.isNotNull(),
             F.concat(
                 F.lit("^"),
                 rolled,

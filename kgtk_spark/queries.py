@@ -475,7 +475,7 @@ def q_connected_components(spark, sf_dir):
     """weak CC over the nation→region star graph
     (kgtk/gt/connected_components.py; 5 components expected)."""
     e = tpch_edges(spark, sf_dir).filter(F.col("label") == "in_region")
-    return connected_components(e)
+    return connected_components(e, cluster_name_method="lowest")
 
 
 @query(

@@ -74,10 +74,18 @@ def kgtk_json_lines(df: DataFrame, fmt: str = "jsonl-map") -> DataFrame:
     """Render each row as one JSON text line (column ``line``)."""
     compact = fmt.endswith("-compact")
     as_map = "-map" in fmt
+    # Plain jsonl dumps the raw cell strings verbatim (kgtkwriter.py:645
+    # json.dumps(values)); only json and the *-map formats reformat via
+    # reformat_values_for_json / json_map.
+    raw_cells = fmt == "jsonl"
 
     tokens = []
     for col in df.columns:
         c = F.coalesce(F.col(col).cast("string"), F.lit(""))
+        if raw_cells:
+            token = F.concat(F.lit('"'), _chain(c, _JSON_ESCAPES), F.lit('"'))
+            tokens.append(token)
+            continue
         # integers normalize through try_cast (strip '+', leading zeros)
         int_norm = F.when(
             c.rlike(_INT_RE),
@@ -112,7 +120,7 @@ def write_kgtk_json(
     reference emits). json* formats are one bracketed array document —
     driver-streamed to a single file.
     """
-    lines = kgtk_json_lines(df, fmt.replace("json", "jsonl", 1) if not fmt.startswith("jsonl") else fmt)
+    lines = kgtk_json_lines(df, fmt)
     if fmt.startswith("jsonl"):
         out = lines
         if fmt == "jsonl":

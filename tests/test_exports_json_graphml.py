@@ -65,7 +65,12 @@ def test_wikidata_json_generator(spark):
 def test_reorder_columns_range(spark):
     df = spark.createDataFrame([(1, 2, 3, 4, 5)], "a int, b int, c int, d int, e int")
     assert reorder_columns(df, ["e", "a", "..", "d"]).columns == ["e", "a", "b", "c", "d"]
-    assert reorder_columns(df, ["d", "..", "a", "..."]).columns == ["d", "c", "b", "a", "e"]
+    # descending range is inert by default (the reference's descending
+    # loop expands nothing; skipped columns fall to the '...' set)
+    assert reorder_columns(df, ["d", "..", "a", "..."]).columns == ["d", "a", "b", "c", "e"]
+    assert reorder_columns(
+        df, ["d", "..", "a", "..."], fixed_descending_ranges=True
+    ).columns == ["d", "c", "b", "a", "e"]
     with pytest.raises(ValueError):
         reorder_columns(df, ["..", "a"])
     with pytest.raises(ValueError):
@@ -85,6 +90,13 @@ def test_language_codes():
     # custom additional list replaces the default table
     assert validate_lang("xx", additional_language_codes=["xx"])
     assert not validate_lang("mo", additional_language_codes=["xx"])
+    # full ISO 639-3 table: common Wikidata codes beyond the 639-1 set
+    # (regression for the round-2 embedded-subset table)
+    for code in ["ceb", "war", "ast", "nds", "arz", "azb", "lmo", "vec", "pnb"]:
+        assert validate_lang(code), code
+    from kgtk_spark.iso639_data import ISO_639_3_ALL
+
+    assert len(ISO_639_3_ALL) > 7900
 
 
 def test_kgtk_json_lines_formats(spark):
@@ -95,9 +107,18 @@ def test_kgtk_json_lines_formats(spark):
          ("Q2", "P31", "+007", "'bonjour'@fr", "False", "x")],
         "node1 string, label string, node2 string, s string, b string, e string",
     )
+    # plain jsonl = raw cell strings verbatim (kgtkwriter.py:645
+    # json.dumps(values) — no reformat_values_for_json)
     rows = [json.loads(r["line"]) for r in kgtk_json_lines(df, "jsonl").collect()]
     byid = {r[0]: r for r in rows}
-    # ints normalized, strings unstringified (language dropped), bools real
+    assert byid["Q1"][2] == "42" and byid["Q2"][2] == "+007"
+    assert byid["Q1"][3] == '"say \\"hi\\""'
+    assert byid["Q2"][3] == "'bonjour'@fr"
+    assert byid["Q1"][4] == "True" and byid["Q2"][4] == "False"
+
+    # json / *-map formats DO reformat (ints, unstringify, booleans)
+    arr = [json.loads(r["line"]) for r in kgtk_json_lines(df, "json").collect()]
+    byid = {r[0]: r for r in arr}
     assert byid["Q1"][2] == 42 and byid["Q2"][2] == 7
     assert byid["Q1"][3] == 'say "hi"'
     assert byid["Q2"][3] == "bonjour"

@@ -28,7 +28,7 @@ def edge_df(spark, pairs):
 def test_connected_components_two_clusters(spark):
     # chain a-b-c-d plus pair x-y plus isolated self-contained cluster
     df = edge_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
-    out = connected_components(df).collect()
+    out = connected_components(df, cluster_name_method="lowest").collect()
     comp = {r["node1"]: r["node2"] for r in out}
     assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
     assert comp["x"] == comp["y"] == "x"
@@ -50,19 +50,44 @@ def test_connected_components_min_size_and_properties(spark):
         [("a", "same", "b"), ("c", "other", "d")],
         ["node1", "label", "node2"],
     )
-    out = connected_components(df, properties=["same"]).collect()
+    out = connected_components(df, properties=["same"], cluster_name_method="lowest").collect()
     nodes = {r["node1"] for r in out}
     assert nodes == {"a", "b"}
 
 
 def test_connected_components_hash_naming(spark):
     df = edge_df(spark, [("a", "b")])
-    out = connected_components(df, cluster_name_method="hash").collect()
+    # hash is the reference DEFAULT method and includes the prefix
+    # (connected_components.py:33,124-126)
+    out = connected_components(df).collect()
     import base64
     import hashlib
 
-    expect = base64.b64encode(hashlib.md5(b"a+b").digest()).decode()
+    expect = "CLUS" + base64.b64encode(hashlib.md5(b"a+b").digest()).decode()
     assert {r["node2"] for r in out} == {expect}
+
+
+def test_connected_components_naming_methods(spark):
+    # fixed two-component fixture; input order: aa, zz, b | kk, k
+    df = edge_df(spark, [("aa", "zz"), ("zz", "b"), ("kk", "k")])
+    def clusters(method, **kw):
+        out = connected_components(df, cluster_name_method=method, **kw).collect()
+        return {r["node2"] for r in out}
+
+    assert clusters("lowest") == {"aa", "k"}
+    assert clusters("highest") == {"zz", "kk"}
+    assert clusters("cat") == {"aa+b+zz", "k+kk"}
+    assert clusters("cat", cluster_name_separator="|") == {"aa|b|zz", "k|kk"}
+    # shortest: min length then lowest; longest: max length then highest
+    assert clusters("shortest") == {"b", "k"}
+    assert clusters("longest") == {"zz", "kk"}
+    # first/last in first-seen input order (node1 then node2 per row)
+    assert clusters("first") == {"aa", "kk"}
+    assert clusters("last") == {"b", "k"}
+    # numbered is the bare component number; prefixed zfills it
+    assert clusters("numbered") == {"0", "1"}
+    assert clusters("prefixed") == {"CLUS0000", "CLUS0001"}
+    assert clusters("prefixed", cluster_name_zfill=2) == {"CLUS00", "CLUS01"}
 
 
 def test_degrees(spark):

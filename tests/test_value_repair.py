@@ -29,8 +29,21 @@ def test_repair_month_or_day_zero(spark):
 
 def test_end_of_day_rolls_forward(spark):
     opts = ValueRepairOptions(end_of_day_as_next_day=True)
-    got = _run(spark, ["^2020-12-31T24:00:00/11", "^2020-06-04T12:00:00/11"], opts)
-    assert got == ["^2021-01-01T00:00:00/11", "^2020-06-04T12:00:00/11"]
+    got = _run(
+        spark,
+        [
+            "^2020-12-31T24:00:00/11",
+            "^2020-06-04T12:00:00/11",
+            # shape-valid but calendar-invalid: must pass through, not null
+            "^2020-02-30T24:00:00/11",
+        ],
+        opts,
+    )
+    assert got == [
+        "^2021-01-01T00:00:00/11",
+        "^2020-06-04T12:00:00/11",
+        "^2020-02-30T24:00:00/11",
+    ]
 
 
 def test_clamp_years(spark):
@@ -93,4 +106,9 @@ def test_connected_components_numbered(spark):
     )
     out = connected_components(edges, cluster_name_method="numbered")
     clusters = {r["node2"] for r in out.collect()}
-    assert clusters == {"CLUS0", "CLUS1", "CLUS2"}
+    # NUMBERED is the bare component number (reference :79-81 passes
+    # the graph-tool id through); PREFIXED adds CLUS + zfill
+    assert clusters == {"0", "1", "2"}
+    out = connected_components(edges, cluster_name_method="prefixed")
+    clusters = {r["node2"] for r in out.collect()}
+    assert clusters == {"CLUS0000", "CLUS0001", "CLUS0002"}
