@@ -74,8 +74,8 @@ def reachable_nodes(
 
 def paths(
     edges: DataFrame,
-    source_nodes: list[str],
-    target_nodes: list[str],
+    source_nodes: list[str] | DataFrame,
+    target_nodes: list[str] | DataFrame,
     max_hops: int = 3,
 ) -> DataFrame:
     """All paths ≤ max_hops from any source to any target.
@@ -83,6 +83,11 @@ def paths(
     Returns (path_id, hop, edge_id) KGTK path edges like
     kgtk/cli/paths.py:96-114; path arrays accumulate via F.array append,
     bounded by max_hops so the join fan-out is capped.
+
+    ``source_nodes``/``target_nodes`` accept a single-column DataFrame
+    (the reference reads them from path-file columns,
+    kgtk/cli/paths.py:31-60) — millions of endpoints never pass through
+    the driver; Python lists remain as sugar for small sets.
     """
     n1 = resolve_column(edges.columns, "node1") or "node1"
     n2 = resolve_column(edges.columns, "node2") or "node2"
@@ -95,8 +100,16 @@ def paths(
     ).localCheckpoint()
 
     spark = edges.sparkSession
-    srcs = spark.createDataFrame([(s,) for s in source_nodes], "node string")
-    targets = set(target_nodes)
+    if isinstance(source_nodes, DataFrame):
+        srcs = source_nodes.toDF("node").distinct()
+    else:
+        srcs = spark.createDataFrame([(s,) for s in source_nodes], "node string")
+    if isinstance(target_nodes, DataFrame):
+        target_df = target_nodes.toDF("node").distinct().localCheckpoint()
+    else:
+        target_df = spark.createDataFrame(
+            [(t,) for t in set(target_nodes)], "node string"
+        )
 
     # active: (end_node, path array of edge ids, node-visit array for cycle cut)
     active = srcs.select(
@@ -118,7 +131,10 @@ def paths(
         )
         if stepped.isEmpty():
             break
-        hits = stepped.where(F.col("end").isin(list(targets)))
+        # semi-join keeps the target set distributed (no isin literal list)
+        hits = stepped.join(
+            target_df.select(F.col("node").alias("end")), "end", "semi"
+        )
         complete = hits if complete is None else complete.union(hits)
         active = stepped
 

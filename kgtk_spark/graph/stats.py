@@ -257,17 +257,26 @@ def hits(
                 F.coalesce("auth_raw", F.lit(0.0)).alias("auth_raw"),
             )
         )
-        # x*x (not pow(x, 2)) so the oracle's SUM(x*x) is bit-identical
+        # x*x (not pow(x, 2)) so the oracle's SUM(x*x) is bit-identical.
+        # The two norms ride along as a one-row broadcast crossJoin
+        # (same fold as pagerank's dangling mass) — no per-iteration
+        # driver collect, and `joined` is never evaluated twice.
         norms = joined.agg(
-            F.sqrt(F.sum(F.col("hub_raw") * F.col("hub_raw"))).alias("hn"),
-            F.sqrt(F.sum(F.col("auth_raw") * F.col("auth_raw"))).alias("an"),
-        ).collect()[0]
-        hn = norms["hn"] or 1.0
-        an = norms["an"] or 1.0
-        scores = joined.select(
+            F.sqrt(F.sum(F.col("hub_raw") * F.col("hub_raw"))).alias("__hn__"),
+            F.sqrt(F.sum(F.col("auth_raw") * F.col("auth_raw"))).alias("__an__"),
+        )
+        hn = F.col("__hn__")
+        an = F.col("__an__")
+        scores = joined.crossJoin(F.broadcast(norms)).select(
             "node",
-            (F.col("hub_raw") / F.lit(hn)).alias("hub"),
-            (F.col("auth_raw") / F.lit(an)).alias("auth"),
+            (
+                F.col("hub_raw")
+                / F.when(hn.isNull() | (hn == 0.0), F.lit(1.0)).otherwise(hn)
+            ).alias("hub"),
+            (
+                F.col("auth_raw")
+                / F.when(an.isNull() | (an == 0.0), F.lit(1.0)).otherwise(an)
+            ).alias("auth"),
         )
         if (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint()

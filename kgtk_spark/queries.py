@@ -1318,9 +1318,10 @@ def q_paths(spark, sf_dir):
         F.lit("to").alias("label"),
         F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node2"),
     )
-    targets = [
-        f"N{row['n_nationkey']}" for row in n.select("n_nationkey").collect()
-    ]
+    # targets stay a DataFrame — no driver collect
+    targets = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("node")
+    )
     return paths(e1.unionByName(e2), ["ROOT"], targets, max_hops=2)
 
 

@@ -89,46 +89,91 @@ def asof_join(
     right_ts: str = "ts",
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (backward) for the same key.
+    """As-of join: for each left row, the matching right row for the
+    same key by timestamp proximity.
+
+    - ``backward``: latest right row with ``right_ts <= left_ts``;
+    - ``forward``: earliest right row with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in time (ties go
+      backward, matching pandas ``merge_asof``).
 
     Spark lacks a native as-of join; this is the union-tag-window
-    formulation: tag both sides, union on (key, ts), carry the last
-    right value forward with a window — ONE shuffle on the key, no
-    range explosion (vs. the naive range join).
+    formulation: tag both sides, union on (key, ts), carry the
+    adjacent right value across with a window — ONE shuffle on the
+    key, no range explosion (vs. the naive range join). Equal
+    timestamps match in both directions (<= / >=), which the window's
+    side-ordering encodes.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     lt = left.withColumn("__side__", F.lit(1)).withColumn("__ts__", F.col(left_ts))
     rt = right.withColumn("__side__", F.lit(0)).withColumn("__ts__", F.col(right_ts))
     right_vals = [c for c in right.columns if c != on and c != right_ts]
+    rts_type = right.schema[right_ts].dataType
     both = lt.select(
-        on, "__ts__", "__side__", *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+        on, "__ts__", "__side__",
+        F.lit(None).cast(rts_type).alias("__r_ts__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
         *[F.col(c) for c in left.columns if c != on],
     ).unionByName(
         rt.select(
-            on, "__ts__", "__side__", *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+            on, "__ts__", "__side__",
+            F.col(right_ts).alias("__r_ts__"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_vals],
             *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
         )
     )
-    w = (
+    carried = ["__r_ts__", *[f"__r_{c}" for c in right_vals]]
+    # backward: right rows at the same ts sort BEFORE the left row so
+    # the trailing frame sees them; forward: they sort AFTER so the
+    # leading frame sees them. Both windows share one hash partitioning
+    # on the key — a single exchange, two sorts.
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = both.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_vals
-        ],
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts__").asc(), F.col("__side__").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    picks: list = []
+    if direction == "backward":
+        picks = [
+            F.last(F.col(c), ignorenulls=True).over(w_back).alias(f"__asof_{c}")
+            for c in carried
+        ]
+    elif direction == "forward":
+        picks = [
+            F.first(F.col(c), ignorenulls=True).over(w_fwd).alias(f"__asof_{c}")
+            for c in carried
+        ]
+    else:  # nearest: fill both ways, pick the closer per row
+        back_ts = F.last(F.col("__r_ts__"), ignorenulls=True).over(w_back)
+        fwd_ts = F.first(F.col("__r_ts__"), ignorenulls=True).over(w_fwd)
+        take_back = fwd_ts.isNull() | (
+            back_ts.isNotNull()
+            & (
+                (F.col("__ts__").cast("long") - back_ts.cast("long"))
+                <= (fwd_ts.cast("long") - F.col("__ts__").cast("long"))
+            )
+        )
+        picks = [
+            F.when(
+                take_back, F.last(F.col(c), ignorenulls=True).over(w_back)
+            )
+            .otherwise(F.first(F.col(c), ignorenulls=True).over(w_fwd))
+            .alias(f"__asof_{c}")
+            for c in carried
+        ]
+    filled = both.select("*", *picks)
     return (
         filled.filter(F.col("__side__") == 1)
         .select(
             on,
             *[F.col(c) for c in left.columns if c != on],
-            *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_vals],
+            *[F.col(f"__asof___r_{c}").alias(f"asof_{c}") for c in right_vals],
         )
     )
 

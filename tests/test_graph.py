@@ -174,6 +174,25 @@ def test_paths(spark):
     assert seqs == {("e3",), ("e1", "e2")}
 
 
+def test_paths_and_reachable_dataframe_endpoints(spark):
+    # endpoints as DataFrames (the reference's root-file columns) — and
+    # a many-roots shape that must never pass through the driver
+    df = edge_df(spark, [(f"r{i}", f"m{i}") for i in range(50)] + [("m0", "t")])
+    roots = spark.createDataFrame([(f"r{i}",) for i in range(50)], "node string")
+    out = reachable_nodes(df, roots).collect()
+    assert len(out) == 51  # 50 direct + r0→t
+
+    e = spark.createDataFrame(
+        [("a", "p", "b", "e1"), ("b", "p", "c", "e2")],
+        ["node1", "label", "node2", "id"],
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    tgts = spark.createDataFrame([("c",), ("zzz",)], "node string")
+    out = paths(e, srcs, tgts, max_hops=3).collect()
+    seq = [r["node2"] for r in sorted(out, key=lambda r: int(r["label"]))]
+    assert seq == ["e1", "e2"]
+
+
 def test_pagerank_driver_and_distributed_agree(spark):
     edges = spark.createDataFrame(
         [("a", "e", "b"), ("b", "e", "c"), ("c", "e", "a"), ("a", "e", "c"), ("d", "e", "a")],

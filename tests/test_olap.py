@@ -56,6 +56,41 @@ def test_asof_join_backward(spark):
     assert out["c3"] is None     # user 2 never purchased
 
 
+def test_asof_join_forward_and_nearest(spark):
+    clicks = spark.createDataFrame(
+        [(1, "c1", ts(10)), (1, "c2", ts(40)), (1, "c3", ts(30)), (2, "c4", ts(5))],
+        "user_id long, event_id string, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, ts(0), "p0"), (1, ts(30), "p30")],
+        "user_id long, ts timestamp, pid string",
+    )
+
+    fwd = {r["event_id"]: r["asof_pid"] for r in
+           asof_join(clicks, purchases, on="user_id", direction="forward").collect()}
+    assert fwd["c1"] == "p30"   # earliest purchase ≥ 10:10
+    assert fwd["c2"] is None    # nothing after 10:40
+    assert fwd["c3"] == "p30"   # equal timestamps match forward
+    assert fwd["c4"] is None
+
+    near = {r["event_id"]: r["asof_pid"] for r in
+            asof_join(clicks, purchases, on="user_id", direction="nearest").collect()}
+    assert near["c1"] == "p0"    # 10 min back vs 20 min fwd
+    assert near["c2"] == "p30"   # only backward exists
+    assert near["c3"] == "p30"   # exact match
+    assert near["c4"] is None
+
+    # equidistant ties go backward (pandas merge_asof semantics)
+    mid = spark.createDataFrame(
+        [(1, "m", ts(15))], "user_id long, event_id string, ts timestamp"
+    )
+    tie = asof_join(mid, purchases, on="user_id", direction="nearest").collect()
+    assert tie[0]["asof_pid"] == "p0"
+
+    with pytest.raises(ValueError):
+        asof_join(clicks, purchases, on="user_id", direction="sideways")
+
+
 def test_range_join_matches_theta_join(spark):
     from kgtk_spark.textops.olap import range_join
 
