@@ -122,6 +122,10 @@ def run_pipeline(
     manifest = StageManifest(spark, out_dir)
     committed = manifest.committed() if resume else {}
 
+    # size the dictionary ONCE; each stage then picks broadcast vs the
+    # salted shuffle path without re-counting
+    n_aliases = alias_dict.count()
+
     fp_text = _fp("extract_text", input_fingerprint)
     text_df = _run_stage(
         spark, manifest, committed, out_dir, "text", fp_text,
@@ -131,19 +135,19 @@ def run_pipeline(
     fp_mentions = _fp("detect_mentions", fp_text)
     mentions = _run_stage(
         spark, manifest, committed, out_dir, "mentions", fp_mentions,
-        lambda: S.detect_mentions(text_df, alias_dict), resume,
+        lambda: S.detect_mentions(text_df, alias_dict, alias_count=n_aliases), resume,
     )
 
     fp_linked = _fp("link_entities", fp_mentions)
     linked = _run_stage(
         spark, manifest, committed, out_dir, "linked", fp_linked,
-        lambda: S.link_entities(mentions, alias_dict), resume,
+        lambda: S.link_entities(mentions, alias_dict, alias_count=n_aliases), resume,
     )
 
     fp_triples = _fp("extract_triples", fp_linked)
     triples = _run_stage(
         spark, manifest, committed, out_dir, "triples", fp_triples,
-        lambda: S.extract_triples(text_df, alias_dict), resume,
+        lambda: S.extract_triples(text_df, alias_dict, alias_count=n_aliases), resume,
     )
 
     fp_canon = _fp("canonicalize", fp_triples)
@@ -179,14 +183,19 @@ def run_pipeline_fused(
     # persist() keeps it as compressed COLUMNAR blocks (GC-friendly at
     # high thread counts — localCheckpoint's deserialized row storage
     # causes GCLocker thrash with 32 executor threads + Arrow JNI).
+    n_aliases = alias_dict.count()
     text_df = S.extract_text(pages).persist()
     text_df.count()
     # mention detection + linking are pipeline deliverables (provenance
     # spans); force them so the fused benchmark includes their cost.
-    linked = S.link_entities(S.detect_mentions(text_df, alias_dict), alias_dict)
+    linked = S.link_entities(
+        S.detect_mentions(text_df, alias_dict, alias_count=n_aliases),
+        alias_dict,
+        alias_count=n_aliases,
+    )
     linked.count()
     # triples consumed twice by canonicalize (sameAs split + rewrite).
-    triples = S.extract_triples(text_df, alias_dict).persist()
+    triples = S.extract_triples(text_df, alias_dict, alias_count=n_aliases).persist()
     triples.count()
     canon = S.canonicalize(triples)
     return S.materialize(canon, n_buckets=n_buckets)

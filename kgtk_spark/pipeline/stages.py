@@ -4,9 +4,12 @@ Scale notes (the whole point):
 - text extraction / mention detection are mapInPandas (Arrow-batched,
   no shuffle, linear in input bytes);
 - the alias dictionary is broadcast — mention→entity resolution is a
-  map-side join, immune to hub-entity skew (the skew-prone shuffle
-  alternative, with salting, lives in kgtk_spark/textops/skew.py for
-  dictionaries too big to broadcast);
+  map-side join, immune to hub-entity skew. Dictionaries above
+  ALIAS_BROADCAST_THRESHOLD rows switch AUTOMATICALLY to the
+  distributed path: a salted candidate equi-join for mention
+  detection and salted shuffle joins for linking/extraction
+  (kgtk_spark/textops/skew.py), so a 100M-alias dictionary never
+  touches the driver;
 - triple assembly shuffles once on (url) — pages are independent, so
   the shuffle key is uniform by construction;
 - canonicalization resolves the (tiny) sameAs subgraph with the
@@ -83,22 +86,43 @@ MENTIONS_SCHEMA = T.StructType(
     ]
 )
 
+# Above this many dictionary rows, the driver-collect + broadcast
+# automaton is replaced by the distributed candidate-join path
+# (detect_mentions_distributed / salted linking joins). The broadcast
+# automaton holds the whole dictionary in every executor's Python
+# worker; ~2M aliases ≈ low hundreds of MB, a sane per-worker ceiling.
+ALIAS_BROADCAST_THRESHOLD = 2_000_000
+
+
+def _alias_count(alias_dict: DataFrame, alias_count: int | None) -> int:
+    return alias_dict.count() if alias_count is None else alias_count
+
 
 def detect_mentions(
-    pages: DataFrame, alias_dict: DataFrame, matcher: str = "token"
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    matcher: str = "token",
+    broadcast_threshold: int = ALIAS_BROADCAST_THRESHOLD,
+    alias_count: int | None = None,
 ) -> DataFrame:
     """(url, begin, end, surface) for every dictionary hit in ``text``.
 
-    The alias list is collected once on the driver and broadcast; each
-    executor builds the automaton once (cached) and streams Arrow
-    batches through it — north_star's "batched Aho-Corasick ... built
-    once per executor from a broadcast alias dictionary".
+    Dictionaries up to ``broadcast_threshold`` rows are collected once
+    on the driver and broadcast; each executor builds the automaton
+    once (cached) and streams Arrow batches through it — north_star's
+    "batched Aho-Corasick ... built once per executor from a broadcast
+    alias dictionary". ABOVE the threshold the dictionary never touches
+    the driver: detect_mentions_distributed runs a salted candidate
+    equi-join instead (pass ``alias_count`` to skip the size probe when
+    the caller already knows it).
 
     ``matcher``: "token" (default) uses the word-level dictionary
     automaton — one hash probe per token, memory-bandwidth-friendly,
     scales linearly with cores; "char" uses the classic character
     Aho-Corasick (handles aliases not aligned to whitespace tokens).
     """
+    if _alias_count(alias_dict, alias_count) > broadcast_threshold:
+        return detect_mentions_distributed(pages, alias_dict)
     spark = pages.sparkSession
     aliases = tuple(
         r["alias"] for r in alias_dict.select("alias").distinct().collect()
@@ -130,6 +154,86 @@ def detect_mentions(
     return pages.select("url", "text").mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
+_TOK_RE = re.compile(r"\S+")
+
+
+def detect_mentions_distributed(
+    pages: DataFrame, alias_dict: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Mention detection for dictionaries too big to broadcast.
+
+    Semantics-identical twin of the token matcher
+    (aho.TokenDictMatcher): token-boundary matches, longest match
+    first, non-overlapping. The dictionary stays a DataFrame:
+
+    1. the distinct alias token-LENGTHS are collected (a handful of
+       small integers, never the aliases themselves);
+    2. each page emits its candidate n-grams for exactly those lengths
+       (mapInPandas, linear in tokens × n_lengths, no dictionary);
+    3. candidates equi-join the normalized alias grams — salted, since
+       hub aliases are Zipfian (textops.skew.salted_join);
+    4. a per-url greedy pass keeps the longest non-overlapping hits
+       (applyInPandas — per-document work after one shuffle on url).
+    """
+    from kgtk_spark.textops.skew import salted_join
+
+    norm = F.array_join(F.split(F.trim(F.col("alias")), r"\s+"), " ")
+    grams_dict = (
+        alias_dict.select(norm.alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+        .select("gram", F.size(F.split(F.col("gram"), " ")).alias("L"))
+    )
+    lengths = sorted(
+        r["L"] for r in grams_dict.select("L").distinct().collect()
+    )
+    if not lengths:
+        return pages.sparkSession.createDataFrame([], MENTIONS_SCHEMA)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("begin", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("gram", T.StringType()),
+        ]
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "begin": [], "end": [], "gram": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                toks = [(m.start(), m.end(), m.group()) for m in _TOK_RE.finditer(text)]
+                n = len(toks)
+                for i in range(n):
+                    for L in lengths:
+                        if i + L > n:
+                            break
+                        rows["url"].append(url)
+                        rows["begin"].append(toks[i][0])
+                        rows["end"].append(toks[i + L - 1][1])
+                        rows["gram"].append(" ".join(t[2] for t in toks[i : i + L]))
+            yield pd.DataFrame(rows)
+
+    cands = pages.select("url", "text").mapInPandas(emit, schema=cand_schema)
+    hits = salted_join(cands, grams_dict, "gram", salt_buckets=salt_buckets).select(
+        "url", "begin", "end", F.col("gram").alias("surface")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["begin", "end"], ascending=[True, False])
+        keep, next_free = [], -1
+        for row in pdf.itertuples(index=False):
+            if row.begin >= next_free:
+                keep.append(row)
+                next_free = row.end
+        return pd.DataFrame(keep, columns=pdf.columns) if keep else pdf.iloc[0:0]
+
+    return hits.groupBy("url").applyInPandas(greedy, schema=MENTIONS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Stage 3 — entity linking (broadcast map-side scoring)
 # ---------------------------------------------------------------------------
@@ -147,21 +251,35 @@ def best_alias_map(alias_dict: DataFrame) -> DataFrame:
 
 
 def link_entities(
-    mentions: DataFrame, alias_dict: DataFrame, context_scoring: bool = False
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    context_scoring: bool = False,
+    broadcast_threshold: int = ALIAS_BROADCAST_THRESHOLD,
+    alias_count: int | None = None,
 ) -> DataFrame:
     """Resolve each mention to its best-prior entity.
 
     Default path is ZERO-shuffle: the argmax over candidate senses is
-    precomputed per alias (best_alias_map, driver-side tiny agg) and the
-    mentions stream takes one broadcast hash join — map-side scoring,
-    immune to hub-alias skew, scales linearly with cores.
+    precomputed per alias (best_alias_map) and the mentions stream takes
+    one broadcast hash join — map-side scoring, immune to hub-alias
+    skew, scales linearly with cores. Dictionaries above
+    ``broadcast_threshold`` rows switch to a salted shuffle join
+    (textops.skew.salted_join) — hub aliases spread over the salt
+    shards instead of making one straggler reducer.
 
     ``context_scoring=True`` keeps the candidate-expansion + per-mention
     aggregation path (one shuffle on the mention key) for scorers that
     need page context; with prior-only scoring both paths are identical.
     """
     if not context_scoring:
-        return mentions.join(F.broadcast(best_alias_map(alias_dict)), "surface").select(
+        best = best_alias_map(alias_dict)
+        if _alias_count(alias_dict, alias_count) > broadcast_threshold:
+            from kgtk_spark.textops.skew import salted_join
+
+            return salted_join(mentions, best, "surface").select(
+                "url", "begin", "end", "surface", "entity", "score"
+            )
+        return mentions.join(F.broadcast(best), "surface").select(
             "url", "begin", "end", "surface", "entity", "score"
         )
     cand = mentions.join(F.broadcast(alias_dict), mentions["surface"] == alias_dict["alias"])
@@ -218,26 +336,38 @@ def raw_triples(pages: DataFrame) -> DataFrame:
     return pages.select("url", "text").mapInPandas(run, schema=TRIPLE_SCHEMA)
 
 
-def extract_triples(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
+def extract_triples(
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    broadcast_threshold: int = ALIAS_BROADCAST_THRESHOLD,
+    alias_count: int | None = None,
+) -> DataFrame:
     """Resolve SVO surface forms to entities — two broadcast joins.
 
     Subject and object surfaces each take one broadcast hash join
     against the best-sense alias map (same map linking used): the whole
     extraction path from raw text to entity triples has NO shuffle.
+    Above ``broadcast_threshold`` dictionary rows both joins run as
+    salted shuffle joins instead (the broadcast would not fit).
     """
-    best = F.broadcast(best_alias_map(alias_dict))
+    big = _alias_count(alias_dict, alias_count) > broadcast_threshold
+    best = best_alias_map(alias_dict)
     t = raw_triples(pages)
-    s = best.select(F.col("surface").alias("ss"), F.col("entity").alias("subj"))
-    o = best.select(F.col("surface").alias("os"), F.col("entity").alias("obj"))
-    return (
-        t.join(s, t["subj_surface"] == s["ss"])
-        .join(o, t["obj_surface"] == o["os"])
-        .select(
-            "url",
-            F.col("subj").alias("node1"),
-            F.col("pred").alias("label"),
-            F.col("obj").alias("node2"),
+    s = best.select(F.col("surface").alias("subj_surface"), F.col("entity").alias("subj"))
+    o = best.select(F.col("surface").alias("obj_surface"), F.col("entity").alias("obj"))
+    if big:
+        from kgtk_spark.textops.skew import salted_join
+
+        joined = salted_join(salted_join(t, s, "subj_surface"), o, "obj_surface")
+    else:
+        joined = t.join(F.broadcast(s), "subj_surface").join(
+            F.broadcast(o), "obj_surface"
         )
+    return joined.select(
+        "url",
+        F.col("subj").alias("node1"),
+        F.col("pred").alias("label"),
+        F.col("obj").alias("node2"),
     )
 
 

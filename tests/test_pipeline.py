@@ -154,3 +154,33 @@ def test_pipeline_resume_skips_committed(spark, tmp_path):
     }
     for m in spark.read.parquet(f"{out_dir}/_manifest").collect():
         assert sums[(m["stage"], m["fingerprint"])] == m["rows"]
+
+
+def test_large_dictionary_takes_shuffle_path(spark):
+    # broadcast_threshold=0 forces the "dictionary too big to broadcast"
+    # route: distributed candidate-join mention detection + salted
+    # linking joins. Results must be identical to the broadcast path.
+    pages, world = generate_pages_df(spark, n_pages=40, n_entities=25, seed=21)
+    text_df = extract_text(pages).localCheckpoint()
+    ad = alias_dictionary_df(spark, world)
+
+    m_bcast = detect_mentions(text_df, ad)
+    m_dist = detect_mentions(text_df, ad, broadcast_threshold=0)
+    # the shuffle path is really taken: the salted join's salt column
+    # appears in the analyzed plan, and no python-side automaton scan
+    plan = m_dist._jdf.queryExecution().analyzed().toString()
+    assert "__salt__" in plan
+
+    key = lambda r: (r["url"], r["begin"], r["end"], r["surface"])  # noqa: E731
+    assert sorted(map(key, m_bcast.collect())) == sorted(map(key, m_dist.collect()))
+
+    l_bcast = link_entities(m_bcast, ad)
+    l_dist = link_entities(m_bcast, ad, broadcast_threshold=0)
+    assert "__salt__" in l_dist._jdf.queryExecution().analyzed().toString()
+    lkey = lambda r: (r["url"], r["begin"], r["end"], r["entity"])  # noqa: E731
+    assert sorted(map(lkey, l_bcast.collect())) == sorted(map(lkey, l_dist.collect()))
+
+    t_bcast = extract_triples(text_df, ad)
+    t_dist = extract_triples(text_df, ad, broadcast_threshold=0)
+    tkey = lambda r: (r["url"], r["node1"], r["label"], r["node2"])  # noqa: E731
+    assert sorted(map(tkey, t_bcast.collect())) == sorted(map(tkey, t_dist.collect()))
