@@ -11,20 +11,41 @@ value rules      node1_type / node2_type / node2_not_type,
 numeric rules    minval / maxval (>= / <=), greater_than / less_than,
                  equal_to / not_equal_to
 date rules       mindate / maxdate on the parsed date_and_times field
+field rules      field_values / field_not_values / field_pattern /
+                 field_not_pattern / field_blank / field_not_blank /
+                 field_minval / field_maxval over the named parsed
+                 node2 fields (propertypatternvalidator.py:1490-1597;
+                 the parsed-fields struct carries every KgtkValueFields
+                 member, so a field rule is one struct access)
+id rules         id_pattern / id_not_pattern / id_blank / id_not_blank
+                 on the id column (:1743-1827)
+chain rules      node2_chain / id_chain: the value must occur as a
+                 node1 somewhere in the file (:1463-1488, remote-row
+                 existence via one distinct + left join)
 cardinality      mindistinct / maxdistinct (distinct node2 per
                  (node1, label)), minoccurs / maxoccurs (rows per
                  (node1, label))
 co-occurrence    requires / prohibits: other properties that must /
                  must not appear on the same node1
+inheritance      isa: inherit the ROW-LEVEL rules of named datatype
+                 patterns (multiple inheritance, loop-detected,
+                 :1829-1869); switch / nextcase: the row must satisfy
+                 at least one case chain (:1871-1941)
+dataset rules    mustoccur (:2067-2080) via ``dataset_violations`` —
+                 a whole-file check, so it reports (property, rule)
+                 rows rather than tagging edges
 
-Rules apply per ``label``; rows under no rule pass. Returns
+Rules apply per ``label``; rows under no rule pass; patterns marked
+``datatype=True`` never match by label and exist only as isa/switch
+targets (the reference's datatype pseudo-properties). Returns
 (valid_df, reject_df); the reject side carries a ``reject_reasons``
 array column naming every failed ``label:rule`` so rejects are
 actionable (the reference writes similar complaints to its log).
 
 All predicates are Catalyst expressions; the only shuffles are the
-aggregations that cardinality / co-occurrence rules genuinely need
-(skipped entirely when no such rule is present).
+aggregations that cardinality / co-occurrence / chain rules genuinely
+need (skipped entirely when no such rule is present). isa/switch
+expansion happens driver-side over the (tiny) pattern list.
 """
 
 from __future__ import annotations
@@ -34,7 +55,9 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgtk_spark.values import parse_fields_udf
+from kgtk_spark.values import VALUE_FIELDS_SCHEMA, parse_fields_udf
+
+_FIELD_NAMES = frozenset(f.name for f in VALUE_FIELDS_SCHEMA.fields)
 
 
 @dataclass
@@ -66,6 +89,30 @@ class PropertyPattern:
     maxoccurs: int | None = None
     requires: list[str] | None = None
     prohibits: list[str] | None = None
+    # field_* rules over the named parsed node2 fields
+    field_name: list[str] | None = None
+    field_values: list[str] | None = None
+    field_not_values: list[str] | None = None
+    field_pattern: str | None = None
+    field_not_pattern: str | None = None
+    field_blank: bool = False
+    field_not_blank: bool = False
+    field_minval: float | None = None
+    field_maxval: float | None = None
+    # id_* rules on the id column
+    id_pattern: str | None = None
+    id_not_pattern: str | None = None
+    id_blank: bool = False
+    id_not_blank: bool = False
+    # chain rules: value must occur as a node1 in the file
+    node2_chain: bool = False
+    id_chain: bool = False
+    # structure
+    mustoccur: bool = False
+    datatype: bool = False  # isa/switch target only, never matched by label
+    isa: list[str] | None = None
+    switch: list[str] | None = None
+    nextcase: str | None = None
 
 
 def _row_rules(p: PropertyPattern) -> list[tuple[str, Column]]:
@@ -116,7 +163,116 @@ def _row_rules(p: PropertyPattern) -> list[tuple[str, Column]]:
         rules.append(("mindate", n2date >= p.mindate))
     if p.maxdate is not None:
         rules.append(("maxdate", n2date <= p.maxdate))
+
+    # field_* rules: each named field of the parsed node2 struct is one
+    # struct access; a missing field stringifies to "" like the
+    # reference's field_value_map fallback (:1517-1523).
+    has_field_rules = any(
+        [
+            p.field_values,
+            p.field_not_values,
+            p.field_pattern,
+            p.field_not_pattern,
+            p.field_blank,
+            p.field_not_blank,
+            p.field_minval is not None,
+            p.field_maxval is not None,
+        ]
+    )
+    if has_field_rules:
+        if not p.field_name:
+            raise ValueError(
+                f"pattern {p.label!r} has field_* rules but no field_name"
+            )
+        for fname in p.field_name:
+            if fname not in _FIELD_NAMES:
+                raise ValueError(f"unknown value field {fname!r}")
+            fs = F.coalesce(F.col(f"__f2__.{fname}").cast("string"), F.lit(""))
+            fn = F.col(f"__f2__.{fname}").cast("double")
+            tag = f"field:{fname}"
+            if p.field_values:
+                rules.append((f"{tag}:values", fs.isin(p.field_values)))
+            if p.field_not_values:
+                rules.append((f"{tag}:not_values", ~fs.isin(p.field_not_values)))
+            if p.field_pattern:
+                rules.append((f"{tag}:pattern", fs.rlike(p.field_pattern)))
+            if p.field_not_pattern:
+                rules.append((f"{tag}:not_pattern", ~fs.rlike(p.field_not_pattern)))
+            if p.field_blank:
+                rules.append((f"{tag}:blank", fs == ""))
+            if p.field_not_blank:
+                rules.append((f"{tag}:not_blank", fs != ""))
+            if p.field_minval is not None:
+                rules.append((f"{tag}:minval", fn >= p.field_minval))
+            if p.field_maxval is not None:
+                rules.append((f"{tag}:maxval", fn <= p.field_maxval))
+
+    # id_* rules on the id column (empty string when the file has none).
+    idc = F.coalesce(F.col("__id__"), F.lit(""))
+    if p.id_pattern:
+        rules.append(("id_pattern", idc.rlike(p.id_pattern)))
+    if p.id_not_pattern:
+        rules.append(("id_not_pattern", ~idc.rlike(p.id_not_pattern)))
+    if p.id_blank:
+        rules.append(("id_blank", idc == ""))
+    if p.id_not_blank:
+        rules.append(("id_not_blank", idc != ""))
+
+    # chain rules: the value occurs as a node1 somewhere in the file
+    # (precomputed existence columns — one distinct + left join each).
+    if p.node2_chain:
+        rules.append(("node2_chain", F.coalesce(F.col("__n2chain__"), F.lit(False))))
+    if p.id_chain:
+        rules.append(("id_chain", F.coalesce(F.col("__idchain__"), F.lit(False))))
     return rules
+
+
+def _expand_isa(
+    p: PropertyPattern,
+    by_name: dict[str, PropertyPattern],
+    stack: tuple[str, ...] = (),
+) -> list[tuple[str, PropertyPattern]]:
+    """(reason_tag, pattern) for p plus its isa ancestors, depth-first,
+    loop-detected (propertypatternvalidator.py:1829-1869). Reasons are
+    tagged with the ancestor's own name, like the reference's
+    per-datatype complaints."""
+    if p.label in stack:
+        raise ValueError(f"isa loop detected at {p.label!r}")
+    out = [(p.label, p)]
+    for parent in p.isa or []:
+        pp = by_name.get(parent)
+        if pp is None:
+            raise ValueError(f"unknown isa target {parent!r}")
+        out.extend(_expand_isa(pp, by_name, (*stack, p.label)))
+    return out
+
+
+def _case_chain(
+    name: str, by_name: dict[str, PropertyPattern]
+) -> list[PropertyPattern]:
+    """A switch case plus its nextcase successors (:1871-1941)."""
+    out: list[PropertyPattern] = []
+    seen: set[str] = set()
+    cur: str | None = name
+    while cur is not None and cur not in seen:
+        seen.add(cur)
+        pp = by_name.get(cur)
+        if pp is None:
+            raise ValueError(f"unknown switch/nextcase target {cur!r}")
+        out.append(pp)
+        cur = pp.nextcase
+    return out
+
+
+def _conforms(p: PropertyPattern, by_name: dict[str, PropertyPattern]) -> Column:
+    """TRUE iff the row satisfies every row-level rule of p and its isa
+    ancestors (used for switch cases; aggregate rules are row-external
+    and intentionally out of switch scope)."""
+    cond = F.lit(True)
+    for _, pat in _expand_isa(p, by_name):
+        for _, ok in _row_rules(pat):
+            cond = cond & F.coalesce(ok, F.lit(False))
+    return cond
 
 
 def validate_properties(
@@ -124,8 +280,12 @@ def validate_properties(
 ) -> tuple[DataFrame, DataFrame]:
     """Split edges into (conforming, violating); violations carry a
     ``reject_reasons`` array naming each failed ``label:rule``."""
+    by_name = {p.label: p for p in patterns}
     parsed = edges.withColumn("__f1__", parse_fields_udf(F.col("node1"))).withColumn(
         "__f2__", parse_fields_udf(F.col("node2"))
+    )
+    parsed = parsed.withColumn(
+        "__id__", F.col("id") if "id" in edges.columns else F.lit("")
     )
 
     need_distinct = any(
@@ -135,6 +295,27 @@ def validate_properties(
         p.minoccurs is not None or p.maxoccurs is not None for p in patterns
     )
     need_labels = any(p.requires or p.prohibits for p in patterns)
+    need_n2chain = any(p.node2_chain for p in patterns)
+    need_idchain = any(p.id_chain for p in patterns)
+
+    if need_n2chain or need_idchain:
+        n1s = (
+            edges.select(F.col("node1").alias("__cn1__"))
+            .distinct()
+            .withColumn("__chain_hit__", F.lit(True))
+        )
+        if need_n2chain:
+            parsed = (
+                parsed.join(n1s, parsed["node2"] == n1s["__cn1__"], "left")
+                .withColumnRenamed("__chain_hit__", "__n2chain__")
+                .drop("__cn1__")
+            )
+        if need_idchain:
+            parsed = (
+                parsed.join(n1s, parsed["__id__"] == n1s["__cn1__"], "left")
+                .withColumnRenamed("__chain_hit__", "__idchain__")
+                .drop("__cn1__")
+            )
 
     if need_distinct or need_occurs:
         counts = parsed.groupBy("node1", "label").agg(
@@ -159,9 +340,20 @@ def validate_properties(
         )
 
     for p in patterns:
+        if p.datatype:
+            continue  # isa/switch target only
         applies = F.col("label") == p.label
-        for name, ok in _row_rules(p):
-            add(applies, p.label, name, ok)
+        # own rules + row-level rules inherited through isa, each tagged
+        # with the owning datatype's name (reference complaint style)
+        for tag, pat in _expand_isa(p, by_name):
+            for name, ok in _row_rules(pat):
+                add(applies, tag, name, ok)
+        if p.switch:
+            case_ok = F.lit(False)
+            for case in p.switch:
+                for pat in _case_chain(case, by_name):
+                    case_ok = case_ok | _conforms(pat, by_name)
+            add(applies, p.label, "switch", case_ok)
         if p.mindistinct is not None:
             add(applies, p.label, "mindistinct", F.col("__nd__") >= p.mindistinct)
         if p.maxdistinct is not None:
@@ -198,3 +390,21 @@ def validate_properties(
         .drop(*drop)
     )
     return valid, reject
+
+
+def dataset_violations(
+    edges: DataFrame, patterns: list[PropertyPattern]
+) -> DataFrame:
+    """Whole-file rules that cannot tag a row: ``mustoccur`` properties
+    that never appear in the label column
+    (propertypatternvalidator.py:2067-2080,2099). Returns
+    ``(property, rule)`` rows — empty when everything required occurs."""
+    spark = edges.sparkSession
+    required = sorted({p.label for p in patterns if p.mustoccur})
+    if not required:
+        return spark.createDataFrame([], "property string, rule string")
+    req = spark.createDataFrame([(r,) for r in required], "property string")
+    present = edges.select(F.col("label").alias("property")).distinct()
+    return req.join(present, "property", "left_anti").withColumn(
+        "rule", F.lit("mustoccur")
+    )

@@ -1216,13 +1216,17 @@ def q_minhash(spark, sf_dir):
     "         CASE WHEN o_orderkey % 2 = 0 THEN 'https://example.org/' ELSE 'ftp://example.org/' END "
     "         || CAST(o_orderkey AS VARCHAR) FROM orders "
     "  UNION ALL "
-    "  SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'other', n_name FROM nation) "
+    "  SELECT 'N' || CAST(n_nationkey AS VARCHAR), 'other', n_name FROM nation "
+    "  UNION ALL "
+    "  SELECT 'S' || CAST(s_suppkey AS VARCHAR), 'P127', "
+    "         'N' || CAST(s_suppkey % 30 AS VARCHAR) FROM supplier) "
     "SELECT node1, label, node2 FROM e "
     "WHERE (label = 'P2044' AND regexp_matches(node2, '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$') "
     "       AND CAST(node2 AS DOUBLE) BETWEEN -500 AND 10000) "
     "   OR (label = 'P856' AND regexp_matches(node1, '^Q[0-9]+$') "
     "       AND regexp_matches(node2, '^https?://')) "
-    "   OR label NOT IN ('P2044', 'P856')",
+    "   OR (label = 'P127' AND node2 IN (SELECT node1 FROM e)) "
+    "   OR label NOT IN ('P2044', 'P856', 'P127')",
 )
 def q_validate_properties(spark, sf_dir):
     """validate-properties (kgtk/value/propertypatternvalidator.py)
@@ -1253,12 +1257,28 @@ def q_validate_properties(spark, sf_dir):
         F.lit("other").alias("label"),
         F.col("n_name").alias("node2"),
     )
-    edges = li.unionByName(o).unionByName(n)
+    s = load(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node1"),
+        F.lit("P127").alias("label"),
+        F.concat(F.lit("N"), (F.col("s_suppkey") % 30).cast("string")).alias("node2"),
+    )
+    edges = li.unionByName(o).unionByName(n).unionByName(s)
     patterns = [
+        # the range rule is INHERITED through isa from a datatype
+        # pattern, and doubled as a field rule over the parsed number
+        # field — same acceptance set, exercises both new paths
         PropertyPattern(
-            "P2044", node2_type=["number", "quantity"], minval=-500, maxval=10000
+            "measurement",
+            datatype=True,
+            minval=-500,
+            maxval=10000,
+            field_name=["number"],
+            field_minval=-500,
         ),
+        PropertyPattern("P2044", node2_type=["number", "quantity"], isa=["measurement"]),
         PropertyPattern("P856", node1_pattern=r"^Q\d+$", node2_pattern=r"^https?://"),
+        # chain rule: the supplier's nation node2 must occur as a node1
+        PropertyPattern("P127", node2_chain=True),
     ]
     valid, _reject = validate_properties(edges, patterns)
     return valid

@@ -194,3 +194,114 @@ def test_text_embedding_hash_kernel_semantics(spark):
     # deterministic
     again = {r["node"]: np.array(r["embedding"]) for r in text_embedding(edges, dim=128).collect()}
     assert all(np.allclose(out[k], again[k]) for k in out)
+
+
+def test_validate_properties_field_rules(spark):
+    # field_* rules over the parsed node2 fields
+    # (propertypatternvalidator.py:1490-1597)
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P569", "^1990-05-01T00:00:00/11"),  # precision 11 ok
+            ("Q2", "P569", "^1990-05-01T00:00:00/9"),   # precision 9 too low
+            ("Q3", "P1082", "123[120,130]"),            # tolerance bounds ok
+            ("Q4", "P625", "'hi'@en"),                  # language ok
+            ("Q5", "P625", "'hi'@zz"),                  # language not allowed
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P569", field_name=["precision"], field_minval=10),
+        PropertyPattern(
+            "P1082", field_name=["low_tolerance"], field_minval=100, field_maxval=125
+        ),
+        PropertyPattern("P625", field_name=["language"], field_values=["en", "fr"]),
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q1", "Q3", "Q4"}
+    reasons = {r["node1"]: set(r["reject_reasons"]) for r in reject.collect()}
+    assert reasons["Q2"] == {"P569:field:precision:minval"}
+    assert reasons["Q5"] == {"P625:field:language:values"}
+
+    # field rules demand field_name
+    with pytest.raises(ValueError):
+        validate_properties(edges, [PropertyPattern("P569", field_minval=1)])[0].count()
+    with pytest.raises(ValueError):
+        validate_properties(
+            edges, [PropertyPattern("P569", field_name=["nope"], field_minval=1)]
+        )[0].count()
+
+
+def test_validate_properties_id_and_chain_rules(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P31", "Q5", "E1"),    # ok; Q5 occurs as node1 below
+            ("Q2", "P31", "Q99", "E2"),   # node2_chain: Q99 never a node1
+            ("Q5", "P31", "Q1", "e3"),    # id_pattern fails (lowercase)
+            ("Q99x", "P17", "Q1", ""),    # id_not_blank fails
+        ],
+        ["node1", "label", "node2", "id"],
+    )
+    patterns = [
+        PropertyPattern("P31", node2_chain=True, id_pattern=r"^E\d+$"),
+        PropertyPattern("P17", id_not_blank=True),
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q1"}
+    reasons = {r["node1"]: set(r["reject_reasons"]) for r in reject.collect()}
+    assert reasons["Q2"] == {"P31:node2_chain"}
+    assert reasons["Q5"] == {"P31:id_pattern"}
+    assert reasons["Q99x"] == {"P17:id_not_blank"}
+
+
+def test_validate_properties_isa_and_switch(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P2044", "8848"),    # number in range → ok via isa
+            ("Q2", "P2044", "-600"),    # below inherited minval
+            ("Q3", "P999", "42"),       # switch: matches numeric case
+            ("Q4", "P999", '"txt"'),    # switch: matches string case
+            ("Q5", "P999", "^2020"),    # switch: matches neither
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("elevation", datatype=True, minval=-500, maxval=10000),
+        PropertyPattern("P2044", node2_type=["number", "quantity"], isa=["elevation"]),
+        PropertyPattern("numcase", datatype=True, node2_type=["number"]),
+        PropertyPattern(
+            "strcase", datatype=True, node2_type=["string"], nextcase="numcase"
+        ),
+        PropertyPattern("P999", switch=["strcase"]),
+    ]
+    valid, reject = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q1", "Q3", "Q4"}
+    reasons = {r["node1"]: set(r["reject_reasons"]) for r in reject.collect()}
+    # inherited rule is tagged with the owning datatype's name
+    assert reasons["Q2"] == {"elevation:minval"}
+    assert reasons["Q5"] == {"P999:switch"}
+
+    # isa loops are detected at plan-build time
+    loop = [
+        PropertyPattern("a", datatype=True, isa=["b"]),
+        PropertyPattern("b", datatype=True, isa=["a"]),
+        PropertyPattern("P1", isa=["a"]),
+    ]
+    with pytest.raises(ValueError):
+        validate_properties(edges, loop)
+
+
+def test_validate_properties_mustoccur(spark):
+    from kgtk_spark.operators.validate_properties import dataset_violations
+
+    edges = spark.createDataFrame(
+        [("Q1", "P31", "Q5"), ("Q2", "P17", "Q30")],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P31", mustoccur=True),
+        PropertyPattern("P569", mustoccur=True),  # absent from the file
+        PropertyPattern("P17"),
+    ]
+    out = dataset_violations(edges, patterns).collect()
+    assert [(r["property"], r["rule"]) for r in out] == [("P569", "mustoccur")]
+    assert dataset_violations(edges, [PropertyPattern("P31")]).count() == 0
