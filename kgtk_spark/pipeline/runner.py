@@ -80,15 +80,42 @@ def _run_stage(
     fingerprint: str,
     compute,
     resume: bool,
+    table_namespace: str | None = None,
+    catalog: str = "iceberg",
 ) -> DataFrame:
-    """Run-or-resume one stage; returns the stage output DataFrame."""
+    """Run-or-resume one stage; returns the stage output DataFrame.
+
+    With ``table_namespace`` set, stage outputs are CATALOG TABLES
+    (``<namespace>.<stage>``): Iceberg ``writeTo`` commits when the
+    named catalog is configured, session-catalog tables otherwise —
+    resume checks ``tableExists`` instead of the directory.
+    """
+    from kgtk_spark.sources.iceberg import (
+        iceberg_available,
+        read_table,
+        table_exists,
+        write_table,
+    )
+
     path = os.path.join(out_dir, name)
-    if resume and committed.get(name) == fingerprint and os.path.exists(path):
-        return spark.read.parquet(path)
-    t0 = time.time()
-    df = compute()
-    df.write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
+    if table_namespace:
+        ident = f"{table_namespace}.{name}"
+        use_session = not iceberg_available(spark, catalog)
+        if resume and committed.get(name) == fingerprint and table_exists(
+            spark, ident, catalog
+        ):
+            return read_table(spark, ident, path, catalog, session_catalog=use_session)
+        t0 = time.time()
+        df = compute()
+        write_table(df, ident, path, catalog, session_catalog=use_session)
+        out = read_table(spark, ident, path, catalog, session_catalog=use_session)
+    else:
+        if resume and committed.get(name) == fingerprint and os.path.exists(path):
+            return spark.read.parquet(path)
+        t0 = time.time()
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
     # Per-partition lineage: one (file, rows) pair per written parquet
     # part — the collect is bounded by the partition count, and the
     # same aggregation also yields the total row count (no extra scan).
@@ -112,15 +139,23 @@ def run_pipeline(
     n_buckets: int = 32,
     resume: bool = True,
     input_fingerprint: str = "",
+    table_namespace: str | None = None,
+    catalog: str = "iceberg",
 ) -> DataFrame:
     """pages + alias dictionary → canonical KGTK edges (also on disk).
 
     ``input_fingerprint`` should identify the input snapshot (e.g. its
     generator seed/row count or an Iceberg snapshot id); stages chain
     from it, so a new input recomputes everything.
+
+    ``table_namespace`` switches every stage sink from parquet
+    directories to catalog tables (``<namespace>.<stage>``) — Iceberg
+    snapshot commits when ``catalog`` is configured, session-catalog
+    tables otherwise. Resume semantics are identical on both sinks.
     """
     manifest = StageManifest(spark, out_dir)
     committed = manifest.committed() if resume else {}
+    sink = dict(table_namespace=table_namespace, catalog=catalog)
 
     # size the dictionary ONCE; each stage then picks broadcast vs the
     # salted shuffle path without re-counting
@@ -129,37 +164,37 @@ def run_pipeline(
     fp_text = _fp("extract_text", input_fingerprint)
     text_df = _run_stage(
         spark, manifest, committed, out_dir, "text", fp_text,
-        lambda: S.extract_text(pages), resume,
+        lambda: S.extract_text(pages), resume, **sink,
     )
 
     fp_mentions = _fp("detect_mentions", fp_text)
     mentions = _run_stage(
         spark, manifest, committed, out_dir, "mentions", fp_mentions,
-        lambda: S.detect_mentions(text_df, alias_dict, alias_count=n_aliases), resume,
+        lambda: S.detect_mentions(text_df, alias_dict, alias_count=n_aliases), resume, **sink,
     )
 
     fp_linked = _fp("link_entities", fp_mentions)
     linked = _run_stage(
         spark, manifest, committed, out_dir, "linked", fp_linked,
-        lambda: S.link_entities(mentions, alias_dict, alias_count=n_aliases), resume,
+        lambda: S.link_entities(mentions, alias_dict, alias_count=n_aliases), resume, **sink,
     )
 
     fp_triples = _fp("extract_triples", fp_linked)
     triples = _run_stage(
         spark, manifest, committed, out_dir, "triples", fp_triples,
-        lambda: S.extract_triples(text_df, alias_dict, alias_count=n_aliases), resume,
+        lambda: S.extract_triples(text_df, alias_dict, alias_count=n_aliases), resume, **sink,
     )
 
     fp_canon = _fp("canonicalize", fp_triples)
     canon = _run_stage(
         spark, manifest, committed, out_dir, "canonical", fp_canon,
-        lambda: S.canonicalize(triples), resume,
+        lambda: S.canonicalize(triples), resume, **sink,
     )
 
     fp_edges = _fp("materialize", fp_canon, str(n_buckets))
     edges = _run_stage(
         spark, manifest, committed, out_dir, "edges", fp_edges,
-        lambda: S.materialize(canon, n_buckets=n_buckets), resume,
+        lambda: S.materialize(canon, n_buckets=n_buckets), resume, **sink,
     )
     return edges
 

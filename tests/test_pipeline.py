@@ -184,3 +184,52 @@ def test_large_dictionary_takes_shuffle_path(spark):
     t_dist = extract_triples(text_df, ad, broadcast_threshold=0)
     tkey = lambda r: (r["url"], r["node1"], r["label"], r["node2"])  # noqa: E731
     assert sorted(map(tkey, t_bcast.collect())) == sorted(map(tkey, t_dist.collect()))
+
+
+def test_pipeline_catalog_table_sink_and_resume(spark, tmp_path):
+    # table mode: every stage lands as a catalog table (session catalog
+    # in-container; Iceberg writeTo when a catalog is configured) with
+    # resume-from-committed-snapshot semantics matching the parquet path
+    out_dir = str(tmp_path / "kgt")
+    pages, world = generate_pages_df(spark, n_pages=40, n_entities=20, seed=17)
+    ad = alias_dictionary_df(spark, world)
+
+    edges = run_pipeline(
+        spark, pages, ad, out_dir, n_buckets=2,
+        input_fingerprint="s17", table_namespace="default",
+    )
+    assert edges.count() > 0
+    for stage in ["text", "mentions", "linked", "triples", "canonical", "edges"]:
+        assert spark.catalog.tableExists(f"default.{stage}"), stage
+
+    n1 = spark.read.parquet(f"{out_dir}/_manifest").count()
+    assert n1 == 6
+
+    # rerun resumes from the committed tables: no new manifest rows
+    run_pipeline(
+        spark, pages, ad, out_dir, n_buckets=2,
+        input_fingerprint="s17", table_namespace="default",
+    )
+    assert spark.read.parquet(f"{out_dir}/_manifest").count() == n1
+
+    # identical result to the parquet-directory sink
+    edges_parquet = run_pipeline(
+        spark, pages, ad, str(tmp_path / "kgp"), n_buckets=2,
+        input_fingerprint="s17",
+    )
+    key = lambda r: (r["node1"], r["label"], r["node2"])  # noqa: E731
+    assert sorted(map(key, spark.table("default.edges").collect())) == sorted(
+        map(key, edges_parquet.collect())
+    )
+
+    # dropping a stage table invalidates just that resume check
+    spark.sql("DROP TABLE default.edges")
+    run_pipeline(
+        spark, pages, ad, out_dir, n_buckets=2,
+        input_fingerprint="s17", table_namespace="default",
+    )
+    assert spark.catalog.tableExists("default.edges")
+    assert spark.read.parquet(f"{out_dir}/_manifest").count() == n1 + 1
+
+    for stage in ["text", "mentions", "linked", "triples", "canonical", "edges"]:
+        spark.sql(f"DROP TABLE IF EXISTS default.{stage}")
