@@ -155,3 +155,37 @@ def test_kmv_sketch_no_python_in_plan(spark):
     plan = plan_of(kmv_distinct(df, ["grp"], "uid", k=8))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "WindowGroupLimit" in plan or "Window" in plan, plan
+
+
+def test_lsh_candidates_share_one_exchange(spark):
+    """The banding self-join and its bucket-size window must reuse ONE
+    hash exchange on (band, bucket) — a groupBy+semi-join formulation
+    would shuffle three times. Pin it so edits don't regress the
+    shuffle count (dedup.py _lsh_candidates)."""
+    from kgtk_spark.textops.dedup import _lsh_candidates, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"common text block {i % 4} repeated tokens") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
+    pairs = _lsh_candidates(
+        sigs, "doc_id", bands=4, rows_per_band=4, bucket_cap=50, log_skipped=False
+    )
+    # exchange reuse is an AQE runtime decision — execute, then inspect
+    # the FINAL adaptive plan
+    pairs.collect()
+    ep = pairs._jdf.queryExecution().executedPlan().toString()
+    final = ep.split("== Initial Plan ==")[0]
+    banding_exchanges = [
+        line
+        for line in final.splitlines()
+        if "Exchange hashpartitioning(band" in line and "Reused" not in line
+    ]
+    assert len(banding_exchanges) == 1, (
+        f"banding must shuffle exactly once, saw "
+        f"{len(banding_exchanges)}:\n{final}"
+    )
+    # the second join side consumes the SAME shuffle (ReusedExchange),
+    # or AQE replaced it by a broadcast built over the reused stage
+    assert "ReusedExchange" in final, final
