@@ -1,0 +1,81 @@
+"""CLI surface tests: the kgtk-style invocations a reference user runs
+(kgtk/cli_entry.py + kgtk/cli/*) against the Spark engine end-to-end."""
+
+from __future__ import annotations
+
+import glob
+
+from kgtk_spark.cli import build_parser, main
+from tests.conftest import REF_DATA
+
+SAMPLE = f"{REF_DATA}/sample_kgtk_edge_file.tsv"
+
+
+def _read_out(path: str) -> list[str]:
+    lines: list[str] = []
+    for part in sorted(glob.glob(f"{path}/part-*")):
+        with open(part) as fp:
+            lines.extend(ln.rstrip("\n") for ln in fp)
+    return lines
+
+
+def test_cli_filter_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    rc = main(["filter", "-i", SAMPLE, "-o", out, "-p", ";P31;",
+               "--single-file"])
+    assert rc == 0
+    lines = _read_out(out)
+    header, rows = lines[0], lines[1:]
+    assert "label" in header.split("\t")
+    # reference golden: 10 P31 rows (kgtk/tests/test_kgtk_filter.py:34)
+    assert len(rows) == 10
+    assert all("\tP31\t" in r for r in rows)
+
+
+def test_cli_ifexists_and_stdout(spark, tmp_path, capsys):
+    flt = str(tmp_path / "flt")
+    assert main(["filter", "-i", SAMPLE, "-o", flt, "-p", ";P31;",
+                 "--single-file"]) == 0
+    rc = main(["ifexists", "-i", SAMPLE, "--filter-on", SAMPLE, "-o", "-"])
+    assert rc == 0
+    printed = capsys.readouterr().out.splitlines()
+    assert len(printed) > 1 and printed[0].count("\t") >= 2
+
+
+def test_cli_connected_components(spark, tmp_path):
+    src = tmp_path / "edges.tsv"
+    src.write_text(
+        "node1\tlabel\tnode2\n" + "a\tp\tb\nb\tp\tc\nx\tp\ty\n"
+    )
+    out = str(tmp_path / "cc")
+    rc = main([
+        "connected-components", "-i", str(src), "-o", out,
+        "--cluster-name-method", "lowest", "--single-file",
+    ])
+    assert rc == 0
+    rows = [r.split("\t") for r in _read_out(out)[1:]]
+    comp = {r[0]: r[2] for r in rows}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_cli_parser_covers_core_commands():
+    p = build_parser()
+    for cmdline in [
+        ["cat", "-i", "a", "b", "-o", "c"],
+        ["join", "-i", "a", "--with-file", "b", "-o", "c", "--left-join"],
+        ["compact", "-i", "a", "-o", "c", "--key-columns", "node1", "label"],
+        ["add-id", "-i", "a", "-o", "c", "--id-style", "node1-label-num"],
+        ["unique", "-i", "a", "-o", "c", "--column", "label"],
+        ["calc", "-i", "a", "-o", "c", "--do", "percentage",
+         "-c", "x", "y", "--into", "pct"],
+        ["reachable-nodes", "-i", "a", "-o", "c", "--root", "Q1"],
+        ["paths", "-i", "a", "-o", "c", "--source-nodes", "s",
+         "--target-nodes", "t"],
+        ["graph-statistics", "-i", "a", "-o", "c", "--pagerank"],
+        ["lift", "-i", "a", "-o", "c"],
+        ["explode", "-i", "a", "-o", "c"],
+        ["validate", "-i", "a", "-o", "c", "--reject-file", "r"],
+    ]:
+        args = p.parse_args(cmdline)
+        assert callable(args.runner)
