@@ -68,6 +68,11 @@ edges AS (
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Pin the session timezone so timestamp rendering/date_trunc match
+    # DuckDB's naive reading of the same parquet regardless of the
+    # harness session's default TZ (the events table carries
+    # timestamp[us] without UTC adjustment).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
