@@ -1645,6 +1645,36 @@ def q_pii_scrub(spark, sf_dir):
 
 
 @query(
+    "ann_knn_join",
+    # double-precision cosine + identical (rounded-score desc, id) rank
+    "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+    "  WHERE vec_id < 20), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+    "                         CAST(q.embedding AS DOUBLE[])) / "
+    "   (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+    "                          CAST(e.embedding AS DOUBLE[]))) * "
+    "    sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+    "                          CAST(q.embedding AS DOUBLE[])))), 6) AS score "
+    "  FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+    "ranked AS (SELECT *, CAST(row_number() OVER "
+    "  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank "
+    "  FROM scored) "
+    "SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5",
+)
+def q_knn_join(spark, sf_dir):
+    """batch kNN join: top-5 cosine neighbors for each of the first 20
+    vectors (broadcast queries, map-side partial top-k trim)."""
+    from kgtk_spark.textops.similarity import knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(queries, emb, k=5, exclude_same_id=True)
+
+
+@query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "
@@ -1678,6 +1708,7 @@ _DRIVER_HEAD = [
     "events_daily",
     "doc_paragraph_dedup",
     "doc_pii_scrub",
+    "ann_knn_join",
     "events_topk_per_user",
     "events_asof_purchase",
     "events_range_join",
@@ -1685,6 +1716,7 @@ _DRIVER_HEAD = [
     "events_kmv_users",
 ]
 _DRIVER_TAIL = [
+    "kgtk_explode_number",
     "graph_degree_summary",
     "doc_punct_ratio",
     "kgtk_filter_invert",

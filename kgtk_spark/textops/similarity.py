@@ -231,3 +231,66 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Batch kNN: for EVERY query row, the top-k corpus vectors by
+    cosine → (query_id, neighbor_id, score, rank).
+
+    Scale shape: the query batch broadcasts against the partitioned
+    corpus (scores are map-side JVM expressions); an Arrow-batched
+    partial top-k trims each scored batch to k rows per query BEFORE
+    the shuffle, so the exchange carries O(k·|Q|·batches) rows instead
+    of |Q|·|C|; a per-query window finishes the merge. Ties order by
+    neighbor id on the 6-decimal-rounded score, making ranks
+    reproducible across engines (the DuckDB oracle replays the same
+    ordering).
+    """
+    from typing import Iterator
+
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    score = F.round(
+        _dot(F.col("__cv__"), F.col("__qv__"))
+        / (_norm(F.col("__cv__")) * _norm(F.col("__qv__"))),
+        6,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", score.alias("score")
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    out_schema = scored.schema
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch top-k per query: the union over batches is a
+        # superset of the true top-k, so the final window stays exact
+        for pdf in batches:
+            pdf = pdf.sort_values(
+                ["query_id", "score", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    trimmed = scored.mapInPandas(trim, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        trimmed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

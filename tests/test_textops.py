@@ -334,3 +334,33 @@ def test_scrub_pii(spark):
     assert out["d2"]["pii_ipv4"] == 2 and out["d2"]["pii_email"] == 0
     assert out["d3"]["text"] == "nothing sensitive here"
     assert out["d3"]["pii_email"] == out["d3"]["pii_ipv4"] == out["d3"]["pii_phone"] == 0
+
+
+def test_knn_join_matches_per_query_brute_force(spark):
+    import numpy as np
+
+    from kgtk_spark.textops.similarity import brute_force_topk, knn_join
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(5).withColumnsRenamed({"vec_id": "query_id"})
+
+    out = knn_join(
+        queries, corpus, k=3, exclude_same_id=True
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert set(got) == {0, 1, 2, 3, 4}
+    for qid, neighbors in got.items():
+        expect = [
+            r["vec_id"]
+            for r in brute_force_topk(
+                corpus, [float(v) for v in vecs[qid]], k=3, exclude_ids=[qid]
+            ).collect()
+        ]
+        assert [n for _, n in sorted(neighbors)] == expect, qid
