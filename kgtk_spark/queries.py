@@ -1033,13 +1033,24 @@ def q_exact_dedup(spark, sf_dir):
 
 @query(
     "doc_token_count",
+    # whitespace tokens + GPT-2-style pre-tokenizer piece count (same
+    # RE2-portable pattern as quality.BPE_PIECE_RE)
     "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-    "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, "
+    "CAST(len(regexp_extract_all(trim(text), "
+    "  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+    ")) AS BIGINT) AS n_bpe_tokens "
     "FROM documents",
 )
 def q_token_count(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return token_count(docs).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    ws = token_count(docs)
+    both = token_count(ws, out_col="n_bpe_tokens", method="bpe_regex")
+    return both.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
 
 
 @query(

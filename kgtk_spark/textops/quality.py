@@ -28,11 +28,40 @@ def _count_occurrences(col: Column, needle: str) -> Column:
     )
 
 
-def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
-    """Whitespace token count (empty text → 0)."""
+# GPT-2-style pre-tokenizer pieces, RE2/Java-portable (no lookarounds):
+# contractions, letter runs, digit runs, punctuation runs — each with an
+# optional leading space — then residual whitespace runs. Counting these
+# pieces approximates BPE token counts well enough for length gating.
+BPE_PIECE_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+"
+    r"|\s+"
+)
+
+
+def token_count(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "n_tokens",
+    method: str = "whitespace",
+) -> DataFrame:
+    """Token count (empty text → 0).
+
+    ``method="whitespace"`` splits on runs of whitespace;
+    ``method="bpe_regex"`` counts GPT-2-style pre-tokenizer pieces
+    (BPE_PIECE_RE) — the cheap JVM-side stand-in for a real BPE
+    vocabulary when gating documents by token budget.
+    """
     df = _spread(df)
     c = F.trim(F.col(text_col))
-    n = F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+    if method == "whitespace":
+        n = F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+    elif method == "bpe_regex":
+        n = F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0))
+    else:
+        raise ValueError(f"unknown token_count method {method!r}")
     return df.withColumn(out_col, n)
 
 

@@ -364,3 +364,18 @@ def test_knn_join_matches_per_query_brute_force(spark):
             ).collect()
         ]
         assert [n for _, n in sorted(neighbors)] == expect, qid
+
+
+def test_token_count_bpe_regex(spark):
+    from kgtk_spark.textops.quality import token_count
+
+    df = spark.createDataFrame(
+        [("a", "I'll say hello-world 42 times!"), ("b", "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           token_count(token_count(df), out_col="n_bpe", method="bpe_regex").collect()}
+    assert out["a"]["n_tokens"] == 5
+    # I | 'll | _say | _hello | - | world | _42 | _times | !
+    assert out["a"]["n_bpe"] == 9
+    assert out["b"]["n_tokens"] == 0 and out["b"]["n_bpe"] == 0
