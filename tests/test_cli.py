@@ -79,3 +79,48 @@ def test_cli_parser_covers_core_commands():
     ]:
         args = p.parse_args(cmdline)
         assert callable(args.runner)
+
+
+def test_cli_cat_reference_expectations(spark, tmp_path):
+    """Mirror of kgtk/tests/test_cat.py: row count + column preservation,
+    csv / jsonl / jsonl-map output formats, two-file concat."""
+    import json
+
+    out = str(tmp_path / "cat")
+    assert main(["cat", "-i", SAMPLE, "-o", out, "--single-file"]) == 0
+    lines = _read_out(out)
+    assert len(lines) == 288  # header + 287 rows (test_cat.py:63)
+    assert lines[0].split("\t") == ["id", "node1", "label", "node2", "rank"]
+
+    outc = str(tmp_path / "cat_csv")
+    assert main(["cat", "-i", SAMPLE, "-o", outc, "--output-format", "csv",
+                 "--single-file"]) == 0
+    clines = _read_out(outc)
+    assert len(clines) == 288
+    assert clines[0] == "id,node1,label,node2,rank"
+
+    outj = str(tmp_path / "cat_jl")
+    assert main(["cat", "-i", SAMPLE, "-o", outj, "--output-format", "jsonl",
+                 "--single-file"]) == 0
+    jlines = _read_out(outj)
+    # header row + 287 data rows, 5 cells each (test_cat.py:62-64)
+    assert len(jlines) == 288
+    assert all(len(json.loads(ln)) == 5 for ln in jlines)
+
+    outm = str(tmp_path / "cat_jlm")
+    assert main(["cat", "-i", SAMPLE, "-o", outm, "--output-format",
+                 "jsonl-map", "--single-file"]) == 0
+    mlines = _read_out(outm)
+    assert len(mlines) == 287  # map form has no header line (test_cat.py:72)
+    row = json.loads(mlines[0])
+    assert {"id", "node1", "label", "node2", "rank"} <= set(row)
+
+    # two-file concat → 6 rows (test_cat.py:88-91)
+    out2 = str(tmp_path / "cat2")
+    assert main([
+        "cat",
+        "-i", f"{REF_DATA}/sample_kgtk_edge_Q47158.tsv",
+        f"{REF_DATA}/sample_kgtk_edge_file_with_id.tsv",
+        "-o", out2, "--single-file",
+    ]) == 0
+    assert len(_read_out(out2)) == 7  # header + 6
