@@ -66,18 +66,23 @@ print(json.dumps({{"cpus": {cpus}, "docs": n, "rows": n_rows, "seconds": round(b
 
 
 def main():
+    import os
+
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    r8 = run_level(8, n_docs)
-    r32 = run_level(32, n_docs)
-    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
-    result = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3)}
+    n = int(os.environ.get("SCALING_N", "8"))
+    n4 = n * 4
+    rn = run_level(n, n_docs)
+    rn4 = run_level(n4, n_docs)
+    eff = (rn4["docs_per_sec"] / rn["docs_per_sec"]) / 4
+    result = {f"local{n}": rn, f"local{n4}": rn4, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
     with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
         f.write(
-            f"\n### Dedup scaling sidebar: minhash_near_dup, {n_docs} docs (best of 2)\n\n"
+            f"\n### Dedup scaling sidebar: minhash_near_dup, {n_docs} docs "
+            f"(N={n}, best of 2)\n\n"
             f"| parallelism | seconds | docs/sec |\n|---|---|---|\n"
-            f"| local[8] | {r8['seconds']} | {r8['docs_per_sec']} |\n"
-            f"| local[32] | {r32['seconds']} | {r32['docs_per_sec']} |\n\n"
+            f"| local[{n}] | {rn['seconds']} | {rn['docs_per_sec']} |\n"
+            f"| local[{n4}] | {rn4['seconds']} | {rn4['docs_per_sec']} |\n\n"
             f"Scaling efficiency: **{eff:.3f}**\n"
         )
 
