@@ -305,6 +305,7 @@ def run_connected_components(spark, args):
         cluster_name_prefix=args.cluster_name_prefix,
         cluster_name_separator=args.cluster_name_separator,
         cluster_name_zfill=args.cluster_name_zfill,
+        strong=args.strong,
     )
 
 
@@ -464,6 +465,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cluster-name-prefix", default="CLUS")
     p.add_argument("--cluster-name-separator", default="+")
     p.add_argument("--cluster-name-zfill", type=int, default=4)
+    p.add_argument("--strong", action="store_true")
 
     p = cmd("reachable-nodes", run_reachable_nodes)  # kgtk/cli/reachable_nodes.py
     p.add_argument("--root", nargs="*", default=None)

@@ -125,8 +125,11 @@ def connected_components(
     cluster_name_separator: str = "+",
     cluster_name_zfill: int = 4,
     max_iterations: int = 50,
+    strong: bool = False,
 ) -> DataFrame:
-    """Weak connected components over a KGTK edge file.
+    """Connected components over a KGTK edge file — weak by default,
+    strongly connected with ``strong=True`` (the reference's --strong,
+    kgtk/gt/connected_components.py:43,156).
 
     Returns KGTK edges ``(node1, 'connected_component', node2=cluster_id)``
     sorted by node, matching kgtk/gt/connected_components.py:187-189.
@@ -145,7 +148,10 @@ def connected_components(
         src = src.filter(F.col(lb).isin(properties))
 
     pairs = src.select(F.col(n1).alias("u"), F.col(n2).alias("v"))
-    assign = components_auto(pairs, max_iterations=max_iterations)
+    if strong:
+        assign = scc_auto(pairs, max_rounds=max_iterations)
+    else:
+        assign = components_auto(pairs, max_iterations=max_iterations)
 
     # Cluster-size filter (isolated nodes never appear: they have no edges).
     sizes = assign.groupBy("component").agg(F.count(F.lit(1)).alias("__size__"))
@@ -254,3 +260,175 @@ def connected_components(
         F.lit("connected_component").alias("label"),
         F.col("cluster").alias("node2"),
     ).orderBy("node1")
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (the reference's --strong,
+# kgtk/gt/connected_components.py:43,156 → label_components(directed=True))
+# ---------------------------------------------------------------------------
+
+def _tarjan(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Iterative Tarjan SCC on the driver; component id = min member."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        nodes.add(u)
+        nodes.add(v)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    out: dict[str, str] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack.add(node)
+            recursed = False
+            succs = adj.get(node, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (node, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on_stack:
+                    low[node] = min(low[node], index[w])
+            if recursed:
+                continue
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+    return out
+
+
+def scc_auto(
+    pairs: DataFrame,
+    driver_threshold: int = 100_000,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component = min member of its SCC), adaptive like
+    components_auto: driver Tarjan under ``driver_threshold`` edges,
+    else the distributed COLORING algorithm (Orzan; also Slota et al.):
+
+    repeat until no edges remain:
+      1. forward min-label propagation to fixpoint (color);
+      2. nodes that can reach their color's root BACKWARD inside their
+         color form that root's SCC — peel them off;
+    O(#outer rounds × log n) joins; every round removes ≥1 SCC per
+    color, so pathological chains fall back to the driver (they are
+    tiny by the time they matter — each peel shrinks the graph).
+    """
+    spark = pairs.sparkSession
+    pairs = pairs.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    n = pairs.count()
+    all_nodes = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if n == 0:
+        return spark.createDataFrame([], "node string, component string")
+    if n <= driver_threshold:
+        rows = _tarjan([(r["u"], r["v"]) for r in pairs.collect()])
+        # nodes in no cycle are their own singleton SCC (covered: tarjan
+        # assigns every visited node)
+        return spark.createDataFrame(
+            sorted(rows.items()), "node string, component string"
+        )
+
+    assigned = spark.createDataFrame([], "node string, component string")
+    live = pairs
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            break
+        # 1) forward min-label fixpoint (color): color(v) = min node id
+        # that reaches v (including itself)
+        nodes = (
+            live.select(F.col("u").alias("node"))
+            .union(live.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        color = nodes.select("node", F.col("node").alias("color")).localCheckpoint()
+        while True:
+            prop = (
+                live.join(color, live["u"] == color["node"])
+                .select(F.col("v").alias("node"), F.col("color"))
+                .union(color.select("node", "color"))
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint()
+            )
+            changed = (
+                prop.join(color.withColumnRenamed("color", "old"), "node")
+                .where(F.col("color") != F.col("old"))
+                .isEmpty()
+            )
+            color = prop
+            if changed:
+                break
+        # 2) backward reachability to the color root WITHIN the color:
+        # the root's SCC = nodes with color c that reach c backward
+        # through same-color nodes
+        ec = (
+            live.join(color.withColumnRenamed("node", "u").withColumnRenamed("color", "cu"), "u")
+            .join(color.withColumnRenamed("node", "v").withColumnRenamed("color", "cv"), "v")
+            .where(F.col("cu") == F.col("cv"))
+            .select("u", "v", F.col("cu").alias("c"))
+            .localCheckpoint()
+        )
+        frontier = color.where(F.col("node") == F.col("color")).select(
+            F.col("node"), F.col("color").alias("c")
+        )
+        reached = frontier.localCheckpoint()
+        while True:
+            step = (
+                ec.join(reached, (ec["v"] == reached["node"]) & (ec["c"] == reached["c"]))
+                .select(ec["u"].alias("node"), ec["c"])
+                .distinct()
+                .join(reached, ["node", "c"], "left_anti")
+                .localCheckpoint()
+            )
+            if step.isEmpty():
+                break
+            reached = reached.union(step).localCheckpoint()
+        scc = reached.select("node", F.col("c").alias("component"))
+        assigned = assigned.union(scc).localCheckpoint()
+        live = (
+            live.join(scc.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(scc.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+    # anything never peeled that still has edges → finish on the driver
+    if not live.isEmpty():
+        rest = _tarjan([(r["u"], r["v"]) for r in live.collect()])
+        assigned = assigned.union(
+            spark.createDataFrame(sorted(rest.items()), "node string, component string")
+        )
+    # isolated-by-peel nodes: every node not assigned is its own SCC
+    singles = all_nodes.join(assigned, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return assigned.union(singles)

@@ -234,3 +234,53 @@ def test_components_auto_driver_and_fixpoint_agree(spark):
     }
     assert drv == dist
     assert ("c", "a") in drv and ("y", "x") in drv and ("r", "p") in drv
+
+
+def test_strongly_connected_components(spark):
+    from kgtk_spark.graph.connected_components import scc_auto
+
+    # two cycles bridged by one-way edges + a tail:
+    # a→b→c→a (SCC {a,b,c}), c→d, d→e→d (SCC {d,e}), e→f (singleton f)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "e"), ("e", "d"), ("e", "f")]
+    pairs = spark.createDataFrame(edges, "u string, v string")
+
+    expect = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+    drv = {r["node"]: r["component"] for r in scc_auto(pairs).collect()}
+    assert drv == expect
+    dist = {r["node"]: r["component"]
+            for r in scc_auto(pairs, driver_threshold=0).collect()}
+    assert dist == expect
+
+    # weak components on the same graph collapse everything into one —
+    # the strong/weak distinction is real
+    out = connected_components(
+        spark.createDataFrame([(u, "p", v) for u, v in edges],
+                              ["node1", "label", "node2"]),
+        cluster_name_method="lowest",
+    )
+    assert {r["node2"] for r in out.collect()} == {"a"}
+    strong = connected_components(
+        spark.createDataFrame([(u, "p", v) for u, v in edges],
+                              ["node1", "label", "node2"]),
+        cluster_name_method="lowest",
+        strong=True,
+    )
+    got = {r["node1"]: r["node2"] for r in strong.collect()}
+    # min_cluster_size=2 drops the singleton f, like the reference
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_scc_random_digraph_driver_vs_distributed(spark):
+    import random
+
+    from kgtk_spark.graph.connected_components import scc_auto
+
+    rnd = random.Random(11)
+    edges = list({(f"n{rnd.randrange(30)}", f"n{rnd.randrange(30)}")
+                  for _ in range(80)})
+    pairs = spark.createDataFrame(edges, "u string, v string")
+    drv = {(r["node"], r["component"]) for r in scc_auto(pairs).collect()}
+    dist = {(r["node"], r["component"])
+            for r in scc_auto(pairs, driver_threshold=0, max_rounds=60).collect()}
+    assert drv == dist
