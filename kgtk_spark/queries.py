@@ -1686,6 +1686,47 @@ def q_knn_join(spark, sf_dir):
 
 
 @query(
+    "graph_scc",
+    # mutual-reachability twin: recursive closure + min member per SCC,
+    # clusters of size >= 2 (the operator's minimum_cluster_size)
+    "WITH RECURSIVE e AS (SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS u, "
+    "  'S' || CAST(((s_suppkey - 1) - ((s_suppkey - 1) % 10)) "
+    "             + (((s_suppkey - 1) % 10 + 1) % 10) + 1 AS VARCHAR) AS v "
+    "  FROM supplier), "
+    "reach(src, dst) AS (SELECT u, v FROM e "
+    "  UNION SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u), "
+    "mutual AS (SELECT a.src AS x, a.dst AS y FROM reach a "
+    "  JOIN reach b ON a.src = b.dst AND a.dst = b.src), "
+    "comp AS (SELECT x AS node, LEAST(x, MIN(y)) AS component FROM mutual "
+    "  WHERE x <> y GROUP BY x), "
+    "sized AS (SELECT component FROM comp GROUP BY component "
+    "  HAVING COUNT(*) >= 2) "
+    "SELECT c.node AS node1, 'connected_component' AS label, "
+    "  c.component AS node2 FROM comp c JOIN sized s USING (component)",
+)
+def q_graph_scc(spark, sf_dir):
+    """strongly connected components (--strong,
+    kgtk/gt/connected_components.py:43,156) over a functional digraph
+    derived from supplier keys: each decade of suppkeys forms one
+    directed 10-cycle, so every node sits in a nontrivial SCC."""
+    s = load(spark, sf_dir, "supplier")
+    e = s.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node1"),
+        F.lit("next").alias("label"),
+        F.concat(
+            F.lit("S"),
+            (
+                (F.col("s_suppkey") - 1)
+                - ((F.col("s_suppkey") - 1) % 10)
+                + (((F.col("s_suppkey") - 1) % 10 + 1) % 10)
+                + 1
+            ).cast("string"),
+        ).alias("node2"),
+    )
+    return connected_components(e, cluster_name_method="lowest", strong=True)
+
+
+@query(
     "events_daily",
     "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
     "CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(AVG(value), 6) AS avg_value "
@@ -1720,6 +1761,7 @@ _DRIVER_HEAD = [
     "doc_paragraph_dedup",
     "doc_pii_scrub",
     "ann_knn_join",
+    "graph_scc",
     "events_topk_per_user",
     "events_asof_purchase",
     "events_range_join",
@@ -1727,6 +1769,7 @@ _DRIVER_HEAD = [
     "events_kmv_users",
 ]
 _DRIVER_TAIL = [
+    "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",
     "doc_punct_ratio",
