@@ -10,7 +10,13 @@ value rules      node1_type / node2_type / node2_not_type,
                  node2_not_pattern, node2_blank / node2_not_blank
 numeric rules    minval / maxval (>= / <=), greater_than / less_than,
                  equal_to / not_equal_to
-date rules       mindate / maxdate on the parsed date_and_times field
+date rules       mindate / maxdate / greater_than_date / less_than_date /
+                 equal_to_date / not_equal_to_date on the parsed
+                 date_and_times field
+validity rules   node1_is_valid / node2_is_valid (value-kernel valid
+                 bit), node1_allow_list / node2_allow_list (|-list
+                 shape), matches (any-of pattern set), reject
+                 (property banned outright)
 field rules      field_values / field_not_values / field_pattern /
                  field_not_pattern / field_blank / field_not_blank /
                  field_minval / field_maxval over the named parsed
@@ -83,6 +89,20 @@ class PropertyPattern:
     not_equal_to: list[float] | None = None
     mindate: str | None = None
     maxdate: str | None = None
+    greater_than_date: str | None = None
+    less_than_date: str | None = None
+    equal_to_date: list[str] | None = None
+    not_equal_to_date: list[str] | None = None
+    # validity / list-shape rules (propertypatternvalidator.py actions
+    # NODE*_IS_VALID and NODE*_ALLOW_LIST)
+    node1_is_valid: bool = False
+    node2_is_valid: bool = False
+    node1_allow_list: bool = True
+    node2_allow_list: bool = True
+    # MATCHES: value must match at least one of the patterns
+    matches: list[str] | None = None
+    # REJECT: the property is banned outright (truth action)
+    reject: bool = False
     mindistinct: int | None = None
     maxdistinct: int | None = None
     minoccurs: int | None = None
@@ -163,6 +183,35 @@ def _row_rules(p: PropertyPattern) -> list[tuple[str, Column]]:
         rules.append(("mindate", n2date >= p.mindate))
     if p.maxdate is not None:
         rules.append(("maxdate", n2date <= p.maxdate))
+    if p.greater_than_date is not None:
+        rules.append(("greater_than_date", n2date > p.greater_than_date))
+    if p.less_than_date is not None:
+        rules.append(("less_than_date", n2date < p.less_than_date))
+    if p.equal_to_date:
+        rules.append(("equal_to_date", n2date.isin(p.equal_to_date)))
+    if p.not_equal_to_date:
+        rules.append(("not_equal_to_date", ~n2date.isin(p.not_equal_to_date)))
+
+    # validity / list-shape / pattern-set / outright-reject actions
+    if p.node1_is_valid:
+        rules.append(("node1_is_valid", F.col("__f1__.valid")))
+    if p.node2_is_valid:
+        rules.append(("node2_is_valid", F.col("__f2__.valid")))
+    if not p.node1_allow_list:
+        rules.append(
+            ("node1_allow_list", F.coalesce(F.col("__f1__.list_len"), F.lit(1)) <= 1)
+        )
+    if not p.node2_allow_list:
+        rules.append(
+            ("node2_allow_list", F.coalesce(F.col("__f2__.list_len"), F.lit(1)) <= 1)
+        )
+    if p.matches:
+        any_match = F.lit(False)
+        for pat in p.matches:
+            any_match = any_match | F.col("node2").rlike(pat)
+        rules.append(("matches", any_match))
+    if p.reject:
+        rules.append(("reject", F.lit(False)))
 
     # field_* rules: each named field of the parsed node2 struct is one
     # struct access; a missing field stringifies to "" like the

@@ -305,3 +305,33 @@ def test_validate_properties_mustoccur(spark):
     out = dataset_violations(edges, patterns).collect()
     assert [(r["property"], r["rule"]) for r in out] == [("P569", "mustoccur")]
     assert dataset_violations(edges, [PropertyPattern("P31")]).count() == 0
+
+
+def test_validate_properties_validity_lists_dates_matches_reject(spark):
+    edges = spark.createDataFrame(
+        [
+            ("Q1", "P569", "^1990-05-01T00:00:00/11"),   # after gt-date → ok
+            ("Q2", "P569", "^1900-01-01T00:00:00/11"),   # exactly gt bound → fail
+            ("Q3", "P999", '"ok"'),                      # valid string
+            ("Q4", "P999", '"broken'),                   # invalid value
+            ("Q5", "P999", '"a"|"b"'),                   # list not allowed
+            ("Q6", "P856", "https://example.org"),       # matches one pattern
+            ("Q7", "P856", "gopher://example.org"),      # matches none
+            ("Q8", "P9999", "anything"),                 # property rejected
+        ],
+        ["node1", "label", "node2"],
+    )
+    patterns = [
+        PropertyPattern("P569", greater_than_date="1900-01-01T00:00:00"),
+        PropertyPattern("P999", node2_is_valid=True, node2_allow_list=False),
+        PropertyPattern("P856", matches=[r"^https?://", r"^ftp://"]),
+        PropertyPattern("P9999", reject=True),
+    ]
+    valid, rej = validate_properties(edges, patterns)
+    assert {r["node1"] for r in valid.collect()} == {"Q1", "Q3", "Q6"}
+    reasons = {r["node1"]: set(r["reject_reasons"]) for r in rej.collect()}
+    assert reasons["Q2"] == {"P569:greater_than_date"}
+    assert reasons["Q4"] == {"P999:node2_is_valid"}
+    assert reasons["Q5"] == {"P999:node2_allow_list"}
+    assert reasons["Q7"] == {"P856:matches"}
+    assert reasons["Q8"] == {"P9999:reject"}
