@@ -76,6 +76,12 @@ def test_cli_parser_covers_core_commands():
         ["lift", "-i", "a", "-o", "c"],
         ["explode", "-i", "a", "-o", "c"],
         ["validate", "-i", "a", "-o", "c", "--reject-file", "r"],
+        ["connected-components", "-i", "a", "-o", "c", "--strong",
+         "--cluster-name-method", "numbered"],
+        ["reachable-nodes", "-i", "a", "-o", "c", "--rootfile", "roots.tsv",
+         "--rootfilecolumn", "node1"],
+        ["implode", "-i", "a", "-o", "c", "--reject-file", "r"],
+        ["head", "-i", "a", "-o", "-", "-n", "5"],
     ]:
         args = p.parse_args(cmdline)
         assert callable(args.runner)
