@@ -78,8 +78,17 @@ def _write(df: DataFrame, args, path: str | None = None) -> None:
 def _maybe_reject(args, reject_df: DataFrame | None) -> None:
     rf = getattr(args, "reject_file", None)
     if rf and reject_df is not None:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         from kgtk_spark.schema import write_kgtk_tsv
 
+        # array columns (e.g. reject_reasons) flatten to |-list cells
+        for f in reject_df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                reject_df = reject_df.withColumn(
+                    f.name, F.array_join(F.col(f.name), "|")
+                )
         write_kgtk_tsv(reject_df, rf, single_file=getattr(args, "single_file", False))
 
 
@@ -285,6 +294,65 @@ def run_unreify(spark, args):
     return unreify_rdf_statements(_read(spark, args.input_file, args.mode))
 
 
+def run_ifempty(spark, args, invert: bool = False):
+    from kgtk_spark.operators import if_empty
+
+    return if_empty(
+        _read(spark, args.input_file, args.mode), args.columns,
+        all_are=args.all, invert=invert,
+    )
+
+
+def run_unreify_values(spark, args):
+    from kgtk_spark.operators import unreify_values
+
+    return unreify_values(_read(spark, args.input_file, args.mode))
+
+
+def run_export_ntriples(spark, args):
+    from kgtk_spark.sources.ntriples import export_ntriples
+
+    return export_ntriples(_read(spark, args.input_file, args.mode))
+
+
+def run_export_cypher(spark, args):
+    from kgtk_spark.sources.exports import export_cypher
+
+    return export_cypher(_read(spark, args.input_file, args.mode))
+
+
+def run_generate_wikidata_triples(spark, args):
+    from kgtk_spark.sources.wikidata_rdf import generate_wikidata_triples
+
+    return generate_wikidata_triples(
+        _read(spark, args.input_file, args.mode),
+        _read(spark, args.property_types_file, "none"),
+        truthy=not args.not_truthy,
+    )
+
+
+def run_generate_mediawiki_jsons(spark, args):
+    from kgtk_spark.sources.wikidata_json import generate_wikidata_json
+
+    return generate_wikidata_json(
+        _read(spark, args.input_file, args.mode),
+        _read(spark, args.property_types_file, "none"),
+    )
+
+
+def run_validate_properties(spark, args):
+    from kgtk_spark.operators.validate_properties import (
+        load_property_patterns,
+        validate_properties,
+    )
+
+    df = _read(spark, args.input_file, args.mode)
+    patterns = load_property_patterns(_read(spark, args.pattern_file, "none"))
+    valid, reject = validate_properties(df, patterns)
+    _maybe_reject(args, reject)
+    return valid
+
+
 def run_validate(spark, args):
     from kgtk_spark.operators import kgtk_clean
 
@@ -449,6 +517,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     cmd("normalize-nodes", run_normalize_nodes)
     cmd("unreify-rdf-statements", run_unreify)
+
+    for name, inv in (("ifempty", False), ("ifnotempty", True)):
+        p = sub.add_parser(name)  # kgtk/cli/ifempty.py, ifnotempty.py
+        p.set_defaults(runner=lambda s, a, inv=inv: run_ifempty(s, a, invert=inv))
+        _add_io(p)
+        p.add_argument("-c", "--columns", nargs="+", required=True)
+        p.add_argument("--all", action="store_true")
+
+    cmd("unreify-values", run_unreify_values)
+    cmd("zconcat", run_cat, multi_input=True)  # codec-auto concat
+    cmd("export-ntriples", run_export_ntriples)
+    cmd("export-neo4j", run_export_cypher)  # kgtk/cli/export_neo4j.py
+
+    p = cmd("generate-wikidata-triples", run_generate_wikidata_triples)
+    p.add_argument("--property-types-file", required=True)
+    p.add_argument("--not-truthy", action="store_true")
+
+    p = cmd("generate-mediawiki-jsons", run_generate_mediawiki_jsons)
+    p.add_argument("--property-types-file", required=True)
+
+    p = cmd("validate-properties", run_validate_properties)
+    p.add_argument("--pattern-file", required=True)
+    p.add_argument("--reject-file")
 
     p = cmd("validate", run_validate)  # kgtk/cli/validate.py
     p.add_argument("--reject-file")

@@ -457,3 +457,119 @@ def dataset_violations(
     return req.join(present, "property", "left_anti").withColumn(
         "rule", F.lit("mustoccur")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern-file loader (the reference feeds the validator from a KGTK
+# edge file: node1 = property-or-datatype, label = action, node2 =
+# value; propertypatternvalidator.py:316-560)
+# ---------------------------------------------------------------------------
+
+_LIST_ACTIONS = {
+    "node1_type", "node2_type", "node2_not_type",
+    "node1_values", "node2_values", "node2_not_values",
+    "requires", "prohibits", "field_name", "field_values",
+    "field_not_values", "isa", "switch", "matches",
+}
+_PATTERN_ACTIONS = {
+    "node1_pattern", "label_pattern", "node2_pattern", "node2_not_pattern",
+    "field_pattern", "field_not_pattern", "id_pattern", "id_not_pattern",
+}
+_FLOAT_ACTIONS = {"minval", "maxval", "greater_than", "less_than",
+                  "field_minval", "field_maxval"}
+_FLOAT_LIST_ACTIONS = {"equal_to", "not_equal_to"}
+_INT_ACTIONS = {"minoccurs", "maxoccurs", "mindistinct", "maxdistinct"}
+_DATE_ACTIONS = {"mindate", "maxdate", "greater_than_date", "less_than_date"}
+_DATE_LIST_ACTIONS = {"equal_to_date", "not_equal_to_date"}
+_BOOL_ACTIONS = {
+    "node2_blank", "node2_not_blank", "field_blank", "field_not_blank",
+    "id_blank", "id_not_blank", "node2_chain", "id_chain", "mustoccur",
+    "reject", "node1_is_valid", "node2_is_valid",
+    "node1_allow_list", "node2_allow_list", "datatype",
+}
+_STR_ACTIONS = {"nextcase"}
+
+
+import re as _re
+
+# split on unescaped '|' (KGTK list separator)
+_PIPE_SPLIT_RE = _re.compile(r"(?<!\\)\|")
+
+
+def _cell_items(value: str) -> list[str]:
+    """Split a |-list cell and unstringify each quoted item."""
+    from kgtk_spark.values import destringify
+
+    out = []
+    for item in _PIPE_SPLIT_RE.split(value):
+        if item.startswith('"') or item.startswith("'"):
+            out.append(destringify(item)[0])
+        else:
+            out.append(item)
+    return out
+
+
+def load_property_patterns(rows) -> list[PropertyPattern]:
+    """Build PropertyPattern objects from pattern-file rows.
+
+    ``rows`` is a DataFrame or an iterable of (node1, label, node2).
+    Unknown actions raise (matching the reference's hard error,
+    propertypatternvalidator.py:329-331). Patterns referenced as
+    isa/switch/nextcase targets are marked ``datatype=True`` (they
+    exist to be inherited, not matched by label), unless the file says
+    otherwise explicitly via a ``datatype`` action row.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(rows, _DF):
+        rows = [(r["node1"], r["label"], r["node2"]) for r in rows.collect()]
+
+    acc: dict[str, dict] = {}
+    explicit_dt: set[str] = set()
+    valid_fields = {f for f in PropertyPattern.__dataclass_fields__}
+    for i, (prop, action, value) in enumerate(rows):
+        if action not in valid_fields:
+            raise ValueError(f"pattern row {i}: unknown action {action!r}")
+        d = acc.setdefault(prop, {})
+        if action in _BOOL_ACTIONS:
+            d[action] = value.strip().lower() in ("true", "1", "yes")
+            if action == "datatype":
+                explicit_dt.add(prop)
+        elif action in _PATTERN_ACTIONS:
+            pats = _cell_items(value)
+            merged = pats if action not in d else [d[action], *pats]
+            d[action] = (
+                merged[0]
+                if len(merged) == 1
+                else "|".join(f"(?:{p})" for p in merged)
+            )
+        elif action in _LIST_ACTIONS:
+            d.setdefault(action, []).extend(_cell_items(value))
+        elif action in _FLOAT_ACTIONS:
+            d[action] = float(value)
+        elif action in _FLOAT_LIST_ACTIONS:
+            d.setdefault(action, []).extend(float(x) for x in _cell_items(value))
+        elif action in _INT_ACTIONS:
+            d[action] = int(float(value))
+        elif action in _DATE_ACTIONS:
+            d[action] = value.lstrip("^")
+        elif action in _DATE_LIST_ACTIONS:
+            d.setdefault(action, []).extend(
+                x.lstrip("^") for x in _cell_items(value)
+            )
+        elif action in _STR_ACTIONS:
+            d[action] = value
+
+    # isa/switch/nextcase targets default to datatype-only
+    targets: set[str] = set()
+    for d in acc.values():
+        targets.update(d.get("isa", []))
+        targets.update(d.get("switch", []))
+        if d.get("nextcase"):
+            targets.add(d["nextcase"])
+    out = []
+    for prop, d in acc.items():
+        if prop in targets and prop not in explicit_dt:
+            d["datatype"] = True
+        out.append(PropertyPattern(label=prop, **d))
+    return out

@@ -130,3 +130,38 @@ def test_cli_cat_reference_expectations(spark, tmp_path):
         "-o", out2, "--single-file",
     ]) == 0
     assert len(_read_out(out2)) == 7  # header + 6
+
+
+def test_cli_validate_properties_pattern_file(spark, tmp_path):
+    data = tmp_path / "edges.tsv"
+    data.write_text(
+        "node1\tlabel\tnode2\n"
+        "Q1\tP2044\t8848\n"
+        "Q2\tP2044\t999999\n"       # above inherited maxval
+        "Q3\tP856\tftp://x.org\n"   # pattern fails
+        "Q4\tP856\thttps://x.org\n"
+        "Q5\tP9999\tanything\n"     # rejected property
+    )
+    pat = tmp_path / "patterns.tsv"
+    pat.write_text(
+        "node1\tlabel\tnode2\n"
+        'P2044\tnode2_type\tnumber|quantity\n'
+        "P2044\tisa\tmeasurement\n"
+        "measurement\tminval\t-500\n"
+        "measurement\tmaxval\t10000\n"
+        'P856\tnode2_pattern\t"^https?://"\n'
+        "P9999\treject\tTrue\n"
+    )
+    out = str(tmp_path / "valid")
+    rej = str(tmp_path / "reject")
+    rc = main([
+        "validate-properties", "-i", str(data), "-o", out,
+        "--pattern-file", str(pat), "--reject-file", rej, "--single-file",
+    ])
+    assert rc == 0
+    kept = {ln.split("\t")[0] for ln in _read_out(out)[1:]}
+    assert kept == {"Q1", "Q4"}
+    rejected = {ln.split("\t")[0]: ln for ln in _read_out(rej)[1:]}
+    assert set(rejected) == {"Q2", "Q3", "Q5"}
+    assert "measurement:maxval" in rejected["Q2"]
+    assert "P9999:reject" in rejected["Q5"]
