@@ -525,6 +525,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("-c", "--columns", nargs="+", required=True)
         p.add_argument("--all", action="store_true")
 
+    def run_md(spark, args):
+        args.output_format = "md"
+        return run_cat(spark, args)
+
+    cmd("md", run_md, multi_input=True)  # kgtk/cli/md.py (markdown table)
     cmd("unreify-values", run_unreify_values)
     cmd("zconcat", run_cat, multi_input=True)  # codec-auto concat
     cmd("export-ntriples", run_export_ntriples)
