@@ -65,6 +65,26 @@ def main() -> None:
     from kgtk_spark.session import get_spark
     from kgtk_spark.queries import QUERIES
 
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    scaling_fields: dict = {}
+    art = Path(__file__).resolve().parent / "BENCH" / "scaling_latest.json"
+    try:
+        with open(art) as fp:
+            s = json.load(fp)
+        scaling_fields = {
+            "scaling_efficiency": s["scaling_efficiency"],
+            "scaling_gate_target": s.get("target", 0.8),
+            "scaling_gate_met": s.get("meets_target"),
+            "scaling_n": s.get("n"),
+            "scaling_n_pages": s.get("n_pages"),
+            "scaling_measured_utc": s.get("measured_utc"),
+            "scaling_commit": s.get("commit"),
+        }
+    except Exception:
+        scaling_fields = {"scaling_efficiency": None,
+                          "scaling_note": "no BENCH/scaling_latest.json — "
+                          "run tools/scaling_bench.py"}
+
     spark = get_spark(
         app_name="kgtk_spark_bench",
         master=f"local[{cpus}]",
@@ -82,12 +102,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Best-of-2 per query, run as two full alternating sweeps (not two
+    # back-to-back runs of the same query) so drifting co-tenant load
+    # hits every query in both passes — the BENCH/BASELINE.md noise
+    # protocol. Identical runs on this host vary up to 3×.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        run_noop(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _sweep in range(2):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            run_noop(fn(spark, sf_dir))
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     # --- KG-construction pipeline on synthetic web pages -------------------
     from kgtk_spark.pipeline import alias_dictionary_df, triple_precision_recall
@@ -106,11 +133,11 @@ def main() -> None:
     ad = alias_dictionary_df(spark, world)
     n_aliases = ad.count()  # dictionary sizing outside the timed region
 
-    # Best of 2: this host's co-tenant load makes identical pipeline
+    # Best of 3: this host's co-tenant load makes identical pipeline
     # runs vary up to 3× (see BENCH/BASELINE.md noise protocol); the
-    # headline metric takes the better of two back-to-back runs.
+    # headline metric takes the best of three runs.
     pipe_sec = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         edges = run_pipeline_fused(
             spark, pages, ad, n_buckets=cpus, alias_count=n_aliases
@@ -140,15 +167,17 @@ def main() -> None:
                     "triple_recall": round(r, 4),
                     "cpus": cpus,
                     "total_query_seconds": round(sum(timings.values()), 3),
+                    # Host load at bench start/end: a noisy driver run is
+                    # self-diagnosing (loadavg 5-22 while "idle" here).
+                    "loadavg_start": loadavg_start,
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                     # Official two-parallelism-level result (north_rule
-                    # criterion), measured by tools/scaling_bench.py on
-                    # 2M pages at local[2] vs local[8] — the pair below
-                    # this host's saturation knee; full narrative +
-                    # input-size sweep + 8->32 ceiling controls in
-                    # BENCH/BASELINE.md (round-3 section).
-                    "scaling_efficiency_N2_vs_4N8": 0.824,
-                    "scaling_gate_target": 0.8,
-                    "scaling_gate_met": True,
+                    # criterion): loaded from the artifact written by
+                    # tools/scaling_bench.py (BENCH/scaling_latest.json),
+                    # NOT a hardcoded constant — re-measurements and
+                    # regressions propagate. Narrative + input-size sweep
+                    # + saturation-ceiling controls in BENCH/BASELINE.md.
+                    **scaling_fields,
                 },
             }
         )

@@ -47,6 +47,36 @@ def _write(df: DataFrame, args, path: str | None = None) -> None:
     path = path or args.output_file
     fmt = getattr(args, "output_format", "kgtk") or "kgtk"
     if path == "-":
+        # Dispatch by format family like the file branch — format_lines
+        # only understands kgtk/tsv*/csv cell reformatting.
+        if fmt == "md":
+            from kgtk_spark.sources.exports import to_markdown
+
+            sys.stdout.write(to_markdown(df))
+            return
+        if fmt.startswith("json"):
+            import json as _json
+
+            from kgtk_spark.sources.json_writer import kgtk_json_lines
+
+            lines = kgtk_json_lines(df, fmt)
+            if fmt.startswith("jsonl"):
+                if fmt == "jsonl":
+                    sys.stdout.write(
+                        _json.dumps(df.columns, separators=(",", ":")) + "\n"
+                    )
+                for row in lines.toLocalIterator():
+                    sys.stdout.write(row["line"] + "\n")
+            else:
+                sys.stdout.write("[\n")
+                if fmt == "json":
+                    sys.stdout.write(
+                        _json.dumps(df.columns, separators=(",", ":")) + ",\n"
+                    )
+                for row in lines.toLocalIterator():
+                    sys.stdout.write(row["line"] + ",\n")
+                sys.stdout.write("]\n")
+            return
         from kgtk_spark.sources.tsv_writer import format_lines
 
         sep = "," if fmt == "csv" else "\t"
@@ -414,6 +444,121 @@ def run_import_ntriples(spark, args):
 
 
 # --------------------------------------------------------------------------
+# CSKG / Wikidata import-export family (kgtk/cli/import_*.py siblings)
+# --------------------------------------------------------------------------
+
+def run_import_conceptnet(spark, args):
+    from kgtk_spark.sources.cskg import import_conceptnet, read_conceptnet_csv
+
+    raw = read_conceptnet_csv(spark, args.input_file)
+    return import_conceptnet(raw, english_only=args.english_only)
+
+
+def run_import_concept_pairs(spark, args):
+    from pyspark.sql import functions as F
+
+    from kgtk_spark.sources.cskg import import_concept_pairs
+
+    # reference input: one whitespace-separated concept pair per line
+    raw = (
+        spark.read.text(args.input_file)
+        .select(F.split(F.trim("value"), r"\s+").alias("p"))
+        .select(F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+    )
+    return import_concept_pairs(raw, relation=args.relation, source=args.source)
+
+
+def run_import_atomic(spark, args):
+    from kgtk_spark.sources.cskg import import_atomic
+
+    # reference input: the ATOMIC v4 CSV (event + JSON-list relation cols)
+    raw = spark.read.csv(args.input_file, header=True, quote='"', escape='"')
+    if "event" not in raw.columns and raw.columns:
+        raw = raw.withColumnRenamed(raw.columns[0], "event")
+    return import_atomic(raw)
+
+
+def run_import_wordnet(spark, args):
+    from kgtk_spark.sources.cskg import import_wordnet
+
+    # synset table as JSON lines: name, lemmas[], hypernyms[], ... —
+    # the shape the reference builds from nltk (get_wn_data()); nltk is
+    # not in this container, so the dump is the CLI's input contract.
+    return import_wordnet(spark.read.json(args.input_file))
+
+
+def run_import_framenet(spark, args):
+    from kgtk_spark.sources.cskg import import_framenet
+
+    read = lambda p: spark.read.json(p) if p else None  # noqa: E731
+    return import_framenet(
+        frame_relations=read(args.frame_relations),
+        lex_units=read(args.lex_units),
+        frame_elements=read(args.frame_elements),
+    )
+
+
+def run_import_visualgenome(spark, args):
+    from kgtk_spark.sources.cskg import (
+        import_visualgenome,
+        read_visualgenome_scene_graphs,
+    )
+
+    scenes = read_visualgenome_scene_graphs(spark, args.input_file)
+    attrs = spark.read.json(args.attr_synsets)
+    return import_visualgenome(scenes, attrs)
+
+
+def run_import_wikidata(spark, args):
+    from kgtk_spark.schema import write_kgtk_tsv
+    from kgtk_spark.sources.wikidata import import_wikidata_jsonl
+
+    nodes, edges = import_wikidata_jsonl(spark, args.input_file)
+    if getattr(args, "node_file", None):
+        write_kgtk_tsv(nodes, args.node_file,
+                       single_file=getattr(args, "single_file", False))
+    return edges
+
+
+def run_export_wikidata(spark, args):
+    from kgtk_spark.sources.wikidata_export import export_wikidata_json
+
+    out = export_wikidata_json(_read(spark, args.input_file, args.mode))
+    # one entity-JSON per line (the reference's dump shape), sorted for
+    # reproducible output; written here as raw text, not a KGTK table
+    lines = out.orderBy("id").select("json")
+    if args.output_file == "-":
+        for row in lines.toLocalIterator():
+            sys.stdout.write(row["json"] + "\n")
+        return None
+    w = lines.coalesce(1) if getattr(args, "single_file", False) else lines
+    w.write.mode("overwrite").text(args.output_file)
+    return None
+
+
+def run_text_embedding(spark, args):
+    from pyspark.sql import functions as F
+
+    from kgtk_spark.graph.embedding import text_embedding
+
+    out = text_embedding(
+        _read(spark, args.input_file, args.mode),
+        dim=args.dim,
+        backend=args.backend,
+    )
+    # KGTK writers carry string cells: render the vector as csv text
+    return out.select(
+        "node",
+        "sentence",
+        F.array_join(
+            F.transform("embedding",
+                        lambda x: F.round(x.cast("double"), 6).cast("string")),
+            ",",
+        ).alias("embedding"),
+    )
+
+
+# --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
 
@@ -581,6 +726,40 @@ def build_parser() -> argparse.ArgumentParser:
 
     cmd("import-ntriples", run_import_ntriples)
 
+    # import/export family (kgtk/cli/import_conceptnet.py:16 + siblings)
+    p = cmd("import-conceptnet", run_import_conceptnet)
+    p.add_argument("--english-only", action="store_true")
+
+    p = cmd("import-concept-pairs", run_import_concept_pairs)
+    p.add_argument("--relation", default="/r/RelatedTo")
+    p.add_argument("--source", default="CN")
+
+    cmd("import-atomic", run_import_atomic)
+    cmd("import-wordnet", run_import_wordnet)
+
+    p = sub.add_parser("import-framenet")
+    p.set_defaults(runner=run_import_framenet)
+    p.add_argument("--frame-relations")
+    p.add_argument("--lex-units")
+    p.add_argument("--frame-elements")
+    p.add_argument("-o", "--output-file", required=True)
+    p.add_argument("--output-format", default="kgtk")
+    p.add_argument("--single-file", action="store_true")
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "edge", "node", "none"])
+
+    p = cmd("import-visualgenome", run_import_visualgenome)
+    p.add_argument("--attr-synsets", required=True)
+
+    p = cmd("import-wikidata", run_import_wikidata)
+    p.add_argument("--node-file")
+
+    p = cmd("export-wikidata", run_export_wikidata)
+
+    p = cmd("text-embedding", run_text_embedding)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--backend", default="hash_kernel")
+
     return ap
 
 
@@ -588,7 +767,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = _spark(args)
     out = args.runner(spark, args)
-    _write(out, args)
+    if out is not None:  # some runners (export-wikidata) write directly
+        _write(out, args)
     return 0
 
 

@@ -327,6 +327,7 @@ def scc_auto(
     pairs: DataFrame,
     driver_threshold: int = 100_000,
     max_rounds: int = 50,
+    round_log: list | None = None,
 ) -> DataFrame:
     """(node, component = min member of its SCC), adaptive like
     components_auto: driver Tarjan under ``driver_threshold`` edges,
@@ -337,8 +338,20 @@ def scc_auto(
       2. nodes that can reach their color's root BACKWARD inside their
          color form that root's SCC — peel them off;
     O(#outer rounds × log n) joins; every round removes ≥1 SCC per
-    color, so pathological chains fall back to the driver (they are
-    tiny by the time they matter — each peel shrinks the graph).
+    color.
+
+    Worst-case round bound: each outer round peels at least one SCC per
+    color, so #rounds ≤ the longest chain of SCCs dominated by a single
+    color. The adversarial shape is many small cycles chained by
+    one-way edges — the global min id's color floods the whole chain
+    and exactly ONE SCC peels per round. The loop is therefore capped
+    at ``max_rounds``; whatever survives the cap is finished exactly by
+    driver Tarjan (each peel strictly shrinks the live graph, so the
+    residue is the deep-chain tail, vastly smaller than the input —
+    the adversarial case is pathological DEPTH, not size).
+
+    ``round_log``: optional list; one entry (live-edge count) is
+    appended per outer round — used by tests to assert the bound.
     """
     spark = pairs.sparkSession
     pairs = pairs.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
@@ -364,6 +377,8 @@ def scc_auto(
     for _ in range(max_rounds):
         if live.isEmpty():
             break
+        if round_log is not None:
+            round_log.append(live.count())
         # 1) forward min-label fixpoint (color): color(v) = min node id
         # that reaches v (including itself)
         nodes = (

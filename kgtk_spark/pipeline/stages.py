@@ -375,14 +375,30 @@ def extract_triples(
 # Stage 5 — canonicalization (sameAs connected components)
 # ---------------------------------------------------------------------------
 
-def canonicalize(triples: DataFrame, same_as_label: str = SAME_AS_LABEL) -> DataFrame:
+# Above this many rewrite rows the sameAs map stops being broadcast and
+# the rewrite runs as plain shuffle left-joins (AQE handles stragglers
+# and skewed canonical ids). Mirrors ALIAS_BROADCAST_THRESHOLD: two
+# short strings per row, so 2M rows ≈ low hundreds of MB per executor —
+# the same per-worker ceiling.
+REWRITE_BROADCAST_THRESHOLD = 2_000_000
+
+
+def canonicalize(
+    triples: DataFrame,
+    same_as_label: str = SAME_AS_LABEL,
+    broadcast_threshold: int = REWRITE_BROADCAST_THRESHOLD,
+) -> DataFrame:
     """Collapse sameAs clusters: rewrite node1/node2 to the cluster's
     lexicographically-smallest member; drop the sameAs edges.
 
     Mirrors the reference's sameAs canonicalization
     (kgtk/cskg_utils.py:88-147) with the in-memory union-find replaced
     by the large/small-star fixpoint. The rewrite map (one row per
-    non-canonical entity) is broadcast."""
+    non-canonical entity) is broadcast only while it stays under
+    ``broadcast_threshold`` rows; above that the two rewrites run as
+    shuffle joins — a web-scale sameAs graph can have hundreds of
+    millions of non-canonical ids, which must never transit the driver
+    or every executor."""
     same = triples.filter(F.col("label") == same_as_label)
     rest = triples.filter(F.col("label") != same_as_label)
 
@@ -392,11 +408,14 @@ def canonicalize(triples: DataFrame, same_as_label: str = SAME_AS_LABEL) -> Data
     from kgtk_spark.graph.connected_components import components_auto
 
     assign = components_auto(pairs)
-    rewrite = F.broadcast(
-        assign.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("__from__"), F.col("component").alias("__to__")
-        )
+    rewrite = assign.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__from__"), F.col("component").alias("__to__")
     )
+    # The map is consumed twice (node1 pass, node2 pass) and sized once;
+    # persist so the CC fixpoint doesn't replay per consumer.
+    rewrite = rewrite.persist()
+    if rewrite.count() <= broadcast_threshold:
+        rewrite = F.broadcast(rewrite)
     out = (
         rest.join(rewrite, rest["node1"] == rewrite["__from__"], "left")
         .withColumn("node1", F.coalesce("__to__", "node1"))

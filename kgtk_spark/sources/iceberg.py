@@ -61,12 +61,24 @@ def write_table(
         writer.createOrReplace()
         return f"{catalog}.{identifier}"
     if session_catalog:
-        writer = df.writeTo(identifier).using("parquet")
+        # Pre-create the namespace so identifiers like ``kg.stage`` work
+        # on a stock session catalog (only ``default`` pre-exists).
+        if "." in identifier:
+            ns = identifier.rsplit(".", 1)[0]
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
+        # V1 session catalog has no atomic RTAS. Narrow the unsafe
+        # window: fully commit the new data under a temp name FIRST,
+        # then drop+rename. A failure after the drop leaves the temp
+        # table holding the complete new data (recoverable), instead of
+        # destroying the previously committed table before the rewrite.
+        tmp = f"{identifier}__kgtk_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        writer = df.writeTo(tmp).using("parquet")
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-        # V1 session catalog: no atomic replace — drop, then V2 create
-        spark.sql(f"DROP TABLE IF EXISTS {identifier}")
         writer.create()
+        spark.sql(f"DROP TABLE IF EXISTS {identifier}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {identifier}")
         return identifier
     w = df.write.mode("overwrite")
     if partition_by:

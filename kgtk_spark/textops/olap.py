@@ -152,11 +152,15 @@ def asof_join(
     else:  # nearest: fill both ways, pick the closer per row
         back_ts = F.last(F.col("__r_ts__"), ignorenulls=True).over(w_back)
         fwd_ts = F.first(F.col("__r_ts__"), ignorenulls=True).over(w_fwd)
+        # Compare distances at full microsecond resolution — cast("long")
+        # truncates to whole seconds and can pick the wrong neighbor (and
+        # fire the backward tie rule for non-ties) on sub-second data.
+        ts_us = F.unix_micros(F.col("__ts__"))
         take_back = fwd_ts.isNull() | (
             back_ts.isNotNull()
             & (
-                (F.col("__ts__").cast("long") - back_ts.cast("long"))
-                <= (fwd_ts.cast("long") - F.col("__ts__").cast("long"))
+                (ts_us - F.unix_micros(back_ts))
+                <= (F.unix_micros(fwd_ts) - ts_us)
             )
         )
         picks = [

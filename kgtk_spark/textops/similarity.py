@@ -242,6 +242,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_same_id: bool = False,
+    broadcast_chunk_rows: int = 500_000,
 ) -> DataFrame:
     """Batch kNN: for EVERY query row, the top-k corpus vectors by
     cosine → (query_id, neighbor_id, score, rank).
@@ -254,6 +255,12 @@ def knn_join(
     neighbor id on the 6-decimal-rounded score, making ranks
     reproducible across engines (the DuckDB oracle replays the same
     ordering).
+
+    The broadcast is guarded: a query batch over
+    ``broadcast_chunk_rows`` rows is split into hash chunks, each
+    broadcast and scored separately, then unioned — one chunk's
+    broadcast is in flight at a time per stage, so a caller passing
+    10M queries gets bounded executor memory instead of an OOM.
     """
     from typing import Iterator
 
@@ -268,9 +275,25 @@ def knn_join(
         / (_norm(F.col("__cv__")) * _norm(F.col("__qv__"))),
         6,
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", score.alias("score")
-    )
+    n_q = q.count()
+    if n_q > broadcast_chunk_rows:
+        import math
+        from functools import reduce
+
+        n_chunks = math.ceil(n_q / broadcast_chunk_rows)
+        qc = q.withColumn(
+            "__chunk__", F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
+        ).persist()
+        parts = [
+            c.crossJoin(
+                F.broadcast(qc.filter(F.col("__chunk__") == i).drop("__chunk__"))
+            )
+            for i in range(n_chunks)
+        ]
+        base = reduce(lambda a, b: a.unionByName(b), parts)
+    else:
+        base = c.crossJoin(F.broadcast(q))
+    scored = base.select("query_id", "neighbor_id", score.alias("score"))
     if exclude_same_id:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
 

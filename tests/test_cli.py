@@ -42,6 +42,148 @@ def test_cli_ifexists_and_stdout(spark, tmp_path, capsys):
     assert len(printed) > 1 and printed[0].count("\t") >= 2
 
 
+def test_cli_stdout_md_and_json_formats(spark, tmp_path, capsys):
+    """-o - must dispatch md / jsonl / json formats, not crash in
+    reformat_cell (which only accepts kgtk/tsv*/csv)."""
+    import json
+
+    src = tmp_path / "edges.tsv"
+    src.write_text("node1\tlabel\tnode2\na\tp\tb\n")
+
+    assert main(["md", "-i", str(src), "-o", "-"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "| node1 | label | node2 |"
+
+    assert main(["cat", "-i", str(src), "-o", "-",
+                 "--output-format", "jsonl-map"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[0]) == {"node1": "a", "label": "p", "node2": "b"}
+
+    assert main(["cat", "-i", str(src), "-o", "-",
+                 "--output-format", "json"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("[\n") and out.endswith("]\n")
+    assert '["node1","label","node2"]' in out
+
+
+def test_cli_import_export_family(spark, tmp_path):
+    """CLI wrappers for the import/export family (kgtk import-conceptnet
+    and siblings) run end-to-end on tiny fixture files."""
+    import json
+
+    # import-conceptnet
+    cn = tmp_path / "cn.tsv"
+    cn.write_text(
+        "/a/[/r/UsedFor/,/c/en/example_node/,/c/en/thing/]\t/r/UsedFor\t"
+        "/c/en/example_node\t/c/en/thing\t"
+        '{"surfaceText": "An [[example node]] is used for [[thing]]"}\n'
+        "/a/[/r/RelatedTo/,/c/fr/chat/,/c/fr/animal/]\t/r/RelatedTo\t"
+        '/c/fr/chat\t/c/fr/animal\t{"weight": 0.5}\n'
+    )
+    out = str(tmp_path / "cn_out")
+    assert main(["import-conceptnet", "-i", str(cn), "-o", out,
+                 "--english-only", "--single-file"]) == 0
+    rows = _read_out(out)
+    assert len(rows) == 2 and "\t/r/UsedFor\t" in rows[1]
+
+    # import-concept-pairs
+    cp = tmp_path / "pairs.txt"
+    cp.write_text("cn_example cn_other\ncn_a cn_b\n")
+    out = str(tmp_path / "cp_out")
+    assert main(["import-concept-pairs", "-i", str(cp), "-o", out,
+                 "--source", "CP", "--single-file"]) == 0
+    rows = _read_out(out)
+    assert len(rows) == 3 and rows[1].startswith("cp:cn_")
+
+    # import-atomic
+    at = tmp_path / "atomic.csv"
+    at.write_text(
+        'event,xAttr,xWant\n'
+        'PersonX buys a coffee.,"[""generous"", ""none""]","[""to drink it""]"\n'
+    )
+    out = str(tmp_path / "at_out")
+    assert main(["import-atomic", "-i", str(at), "-o", out,
+                 "--single-file"]) == 0
+    body = "\n".join(_read_out(out))
+    assert "at:personx_buys_a_coffee" in body and "at:generous" in body
+
+    # import-wordnet
+    wn = tmp_path / "wn.jsonl"
+    wn.write_text(
+        json.dumps({"name": "dog.n.01", "lemmas": ["dog"],
+                    "hypernyms": ["canine.n.02"], "member_holonyms": [],
+                    "part_holonyms": [], "substance_meronyms": []}) + "\n"
+        + json.dumps({"name": "canine.n.02", "lemmas": ["canine"],
+                      "hypernyms": [], "member_holonyms": [],
+                      "part_holonyms": [], "substance_meronyms": []}) + "\n"
+    )
+    out = str(tmp_path / "wn_out")
+    assert main(["import-wordnet", "-i", str(wn), "-o", out,
+                 "--single-file"]) == 0
+    assert any("/r/IsA" in r for r in _read_out(out))
+
+    # import-framenet
+    fr = tmp_path / "fr.jsonl"
+    fr.write_text(json.dumps({"super_frame": "Motion", "sub_frame": "Self_motion",
+                              "type": "Inheritance"}) + "\n")
+    out = str(tmp_path / "fn_out")
+    assert main(["import-framenet", "--frame-relations", str(fr), "-o", out,
+                 "--single-file"]) == 0
+    assert any("fn:" in r for r in _read_out(out))
+
+    # import-visualgenome
+    vg = tmp_path / "vg.json"
+    vg.write_text(json.dumps([{
+        "image_id": 1,
+        "objects": [{"object_id": 1, "names": ["dog"], "synsets": ["dog.n.01"],
+                     "attributes": ["running"]},
+                    {"object_id": 2, "names": ["grass"],
+                     "synsets": ["grass.n.01"], "attributes": None}],
+        "relationships": [{"predicate": "ON", "subject_id": 1, "object_id": 2}],
+    }]))
+    asyn = tmp_path / "attr.jsonl"
+    asyn.write_text(json.dumps({"attr": "running", "synset": "run.v.01"}) + "\n")
+    out = str(tmp_path / "vg_out")
+    assert main(["import-visualgenome", "-i", str(vg),
+                 "--attr-synsets", str(asyn), "-o", out, "--single-file"]) == 0
+    assert any("/r/LocatedNear" in r for r in _read_out(out))
+
+    # import-wikidata (+ node file) and export-wikidata roundtrip
+    wd = tmp_path / "wd.jsonl"
+    wd.write_text(
+        '{"id":"Q1","type":"item","labels":{"en":{"language":"en","value":"one"}},'
+        '"claims":{"P31":[{"mainsnak":{"snaktype":"value","property":"P31",'
+        '"datavalue":{"type":"wikibase-entityid","value":{"id":"Q2"}}}}]}}\n'
+    )
+    out = str(tmp_path / "wd_out")
+    nodes = str(tmp_path / "wd_nodes")
+    assert main(["import-wikidata", "-i", str(wd), "-o", out,
+                 "--node-file", nodes, "--single-file"]) == 0
+    body = _read_out(out)
+    assert any("\tP31\tQ2" in r for r in body)
+    assert any("one" in r for r in _read_out(nodes))
+
+    exp = str(tmp_path / "wd_export")
+    assert main(["export-wikidata", "-i", out, "-o", exp,
+                 "--single-file"]) == 0
+    doc = json.loads(_read_out(exp)[0])
+    assert doc["id"] == "Q1" and doc["claims"]["P31"] == ["Q2"]
+
+    # text-embedding
+    emb_in = tmp_path / "emb.tsv"
+    emb_in.write_text(
+        "node1\tlabel\tnode2\n"
+        'Q1\tlabel\t"one"\nQ1\tP31\tQ2\nQ2\tlabel\t"two"\n'
+    )
+    out = str(tmp_path / "emb_out")
+    assert main(["text-embedding", "-i", str(emb_in), "-o", out,
+                 "--dim", "8", "--single-file"]) == 0
+    rows = [r.split("\t") for r in _read_out(out)]
+    assert rows[0] == ["node", "sentence", "embedding"]
+    data = {r[0]: r for r in rows[1:]}
+    assert "Q1" in data and len(data["Q1"][2].split(",")) == 8
+
+
 def test_cli_connected_components(spark, tmp_path):
     src = tmp_path / "edges.tsv"
     src.write_text(

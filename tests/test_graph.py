@@ -284,3 +284,41 @@ def test_scc_random_digraph_driver_vs_distributed(spark):
     dist = {(r["node"], r["component"])
             for r in scc_auto(pairs, driver_threshold=0, max_rounds=60).collect()}
     assert drv == dist
+
+
+def test_scc_chain_of_cycles_worst_case(spark):
+    """Adversarial coloring input: many 3-cycles chained by one-way
+    edges. The global min id's color floods the whole chain, so the
+    distributed loop peels exactly ONE SCC per round — the round cap
+    must bound the work and the driver-Tarjan fallback must finish the
+    residue exactly (see scc_auto docstring's round bound)."""
+    from kgtk_spark.graph.connected_components import scc_auto
+
+    n_cycles = 8
+    edges = []
+    for i in range(n_cycles):
+        a, b, c = f"c{i:02d}a", f"c{i:02d}b", f"c{i:02d}c"
+        edges += [(a, b), (b, c), (c, a)]
+        if i + 1 < n_cycles:
+            edges.append((c, f"c{i + 1:02d}a"))  # one-way chain link
+    pairs = spark.createDataFrame(edges, "u string, v string")
+
+    drv = {(r["node"], r["component"]) for r in scc_auto(pairs).collect()}
+
+    # Cap far below n_cycles: the fallback must still be exact.
+    rounds: list = []
+    capped = {(r["node"], r["component"])
+              for r in scc_auto(pairs, driver_threshold=0, max_rounds=3,
+                                round_log=rounds).collect()}
+    assert capped == drv
+    assert len(rounds) == 3  # the cap held — one peel per round, then Tarjan
+
+    # Uncapped: one SCC peels per round → exactly n_cycles rounds.
+    rounds = []
+    full = {(r["node"], r["component"])
+            for r in scc_auto(pairs, driver_threshold=0, max_rounds=50,
+                              round_log=rounds).collect()}
+    assert full == drv
+    assert len(rounds) == n_cycles
+    # each round strictly shrinks the live edge set
+    assert rounds == sorted(rounds, reverse=True) and len(set(rounds)) == len(rounds)

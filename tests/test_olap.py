@@ -91,6 +91,36 @@ def test_asof_join_forward_and_nearest(spark):
         asof_join(clicks, purchases, on="user_id", direction="sideways")
 
 
+def test_asof_join_nearest_subsecond(spark):
+    """Nearest must compare at microsecond resolution, not whole seconds.
+
+    Regression: the distance compare used cast('long'), truncating
+    timestamps to epoch seconds — within one second every distance was 0
+    and the backward tie rule fired even when forward was closer.
+    """
+    def us(micro):
+        return dt.datetime(2024, 1, 1, 10, 0, 0, micro)
+
+    clicks = spark.createDataFrame(
+        # 400ms after p_back, 100ms before p_fwd → nearest is forward
+        [(1, "c1", us(400_000)),
+         # 100ms after p_back, 400ms before p_fwd → nearest is backward
+         (1, "c2", us(100_000)),
+         # exactly equidistant (250ms each way) → tie goes backward
+         (1, "c3", us(250_000))],
+        "user_id long, event_id string, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [(1, us(0), "p_back"), (1, us(500_000), "p_fwd")],
+        "user_id long, ts timestamp, pid string",
+    )
+    near = {r["event_id"]: r["asof_pid"] for r in
+            asof_join(clicks, purchases, on="user_id", direction="nearest").collect()}
+    assert near["c1"] == "p_fwd"
+    assert near["c2"] == "p_back"
+    assert near["c3"] == "p_back"
+
+
 def test_range_join_matches_theta_join(spark):
     from kgtk_spark.textops.olap import range_join
 

@@ -75,6 +75,29 @@ def test_iceberg_fallback(spark, tmp_path):
     assert back.collect() == df.collect()
 
 
+def test_session_catalog_namespaced_replace(spark, tmp_path):
+    """Session-catalog mode auto-creates the namespace, replaces via
+    temp-table + rename (no drop-before-write window), and leaves no
+    temp table behind."""
+    df1 = spark.createDataFrame([("a", 1)], "k string, v long")
+    df2 = spark.createDataFrame([("b", 2), ("c", 3)], "k string, v long")
+    try:
+        # non-default namespace must not require pre-existing database
+        loc = write_table(df1, "kgns.t1", str(tmp_path / "x"),
+                          session_catalog=True)
+        assert loc == "kgns.t1"
+        assert spark.table("kgns.t1").collect() == df1.collect()
+        # replace an existing table
+        write_table(df2, "kgns.t1", str(tmp_path / "x"), session_catalog=True)
+        got = sorted((r["k"], r["v"]) for r in spark.table("kgns.t1").collect())
+        assert got == [("b", 2), ("c", 3)]
+        assert not spark.catalog.tableExists("kgns.t1__kgtk_tmp")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kgns.t1")
+        spark.sql("DROP TABLE IF EXISTS kgns.t1__kgtk_tmp")
+        spark.sql("DROP NAMESPACE IF EXISTS kgns")
+
+
 def test_every_nth(spark):
     df = spark.range(10).select(F.col("id").cast("string").alias("node1"))
     out = kgtk_every_nth(df, 3, order_by=["node1"])

@@ -95,6 +95,33 @@ def test_canonicalize_rewrites_dups(spark):
     assert got == {("Q1", "P31", "Q2"), ("Q3", "P31", "Q1")}
 
 
+def test_canonicalize_large_map_takes_shuffle_path(spark):
+    # broadcast_threshold=0 forces the "sameAs map too big to broadcast"
+    # route: the rewrite joins must run WITHOUT a broadcast exchange and
+    # produce results identical to the broadcast path.
+    rows = [(f"u{i}", f"Q{i}__dup", "P31", f"Q{(i + 1) % 30}") for i in range(30)]
+    rows += [(f"u{i}", f"Q{i}__dup", "sameAs", f"Q{i}") for i in range(30)]
+    t = spark.createDataFrame(rows, ["url", "node1", "label", "node2"])
+
+    # Disable size-based auto-broadcast so the plan shape reflects the
+    # explicit hint alone (at web scale the map's stats exceed the
+    # threshold anyway; the guard controls the FORCED broadcast).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = canonicalize(t, broadcast_threshold=0)
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+
+        bcast = canonicalize(t)  # hint overrides the -1 threshold
+        assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+        key = lambda r: (r["url"], r["node1"], r["label"], r["node2"])  # noqa: E731
+        assert sorted(map(key, shuf.collect())) == sorted(map(key, bcast.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_materialize_ids_and_buckets(spark):
     t = spark.createDataFrame(
         [("u", "Q1", "P31", "Q2"), ("u", "Q1", "P31", "Q2"), ("u2", "Q3", "P50", "Q4")],

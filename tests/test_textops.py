@@ -366,6 +366,29 @@ def test_knn_join_matches_per_query_brute_force(spark):
         assert [n for _, n in sorted(neighbors)] == expect, qid
 
 
+def test_knn_join_chunked_broadcast_parity(spark):
+    """broadcast_chunk_rows below |Q| forces the chunked-broadcast path;
+    results must be identical to the single-broadcast path."""
+    import numpy as np
+
+    from kgtk_spark.textops.similarity import knn_join
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 6).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(7).withColumnsRenamed({"vec_id": "query_id"})
+
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["score"])  # noqa: E731
+    plain = sorted(map(key, knn_join(queries, corpus, k=4).collect()))
+    chunked = sorted(
+        map(key, knn_join(queries, corpus, k=4, broadcast_chunk_rows=2).collect())
+    )
+    assert chunked == plain and len(plain) == 7 * 4
+
+
 def test_token_count_bpe_regex(spark):
     from kgtk_spark.textops.quality import token_count
 

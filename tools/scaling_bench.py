@@ -123,6 +123,26 @@ def main() -> None:
 
         bench_dir = REPO / "BENCH"
         bench_dir.mkdir(exist_ok=True)
+        # Machine-readable artifact: bench.py reports the scaling gate
+        # FROM THIS FILE instead of a hardcoded constant, so a
+        # re-measurement (or regression) propagates automatically.
+        try:
+            commit = subprocess.run(
+                ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        import datetime as _dt
+
+        with open(bench_dir / "scaling_latest.json", "w") as f:
+            json.dump(
+                {**result,
+                 "measured_utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
+                     timespec="seconds"),
+                 "commit": commit},
+                f, indent=1,
+            )
         with open(bench_dir / "BASELINE.md", "a") as f:
             f.write(
                 f"\n## Scaling run: {n_pages} pages, {n_entities} entities "
