@@ -2,12 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched ``mapInPandas`` stages.
-The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode step is a clearly-marked stub: ``extract_features_stub`` computes
-deterministic byte-level features (length, sha-derived checksum bucket,
-a fixed-width byte histogram) through the exact schema / partitioning /
-batch shape a real extractor would use — swap the inner function for a
-real decoder on a cluster with the codec libs installed.
+Decoders are REAL where stdlib+numpy suffice: PNG, BMP, PPM/PGM,
+baseline JPEG (full T.81 sequential huffman decode), and WAV/PCM audio.
+The codec libraries (PIL/ffmpeg/av) are NOT in this container, so
+WebP / video / progressive-JPEG decode remains a clearly-marked stub:
+``extract_features_stub`` computes deterministic byte-level features
+(length, sha-derived checksum bucket, a fixed-width byte histogram)
+through the exact schema / partitioning / batch shape a real extractor
+would use — swap the inner function for a real decoder on a cluster
+with the codec libs installed.
 """
 
 from __future__ import annotations
@@ -57,18 +60,21 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image_bytes(b: bytes) -> np.ndarray:
-    """REAL image decode for stdlib-decodable formats: PNG (zlib
-    inflate + scanline unfilter), uncompressed BMP (24/32 bpp), and
-    binary PPM/PGM. Returns a (H, W) float64 GRAYSCALE array
+    """REAL image decode for dependency-free formats: PNG (zlib
+    inflate + scanline unfilter), uncompressed BMP (24/32 bpp), binary
+    PPM/PGM, and baseline JPEG (full T.81 sequential huffman decode —
+    ``_decode_jpeg``). Returns a (H, W) float64 GRAYSCALE array
     (ITU-R 601 luma for color inputs). Raises ValueError on anything
-    else (JPEG/WebP need codec libs this container lacks — see
-    ``_decode_real``)."""
+    else (WebP/video and progressive JPEG need codec libs this
+    container lacks — see ``_decode_real``)."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] in (b"P5", b"P6"):
         return _decode_pnm(b)
+    if b[:2] == b"\xff\xd8":
+        return _decode_jpeg(b)
     raise ValueError("unsupported image format (magic %r)" % b[:4])
 
 
@@ -198,10 +204,250 @@ def _decode_pnm(b: bytes) -> np.ndarray:
     return px[..., 0] if nch == 1 else _luma(px)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, huffman) — stdlib + numpy.
+# ---------------------------------------------------------------------------
+
+# zigzag order: _JPEG_ZIGZAG[k] = raster index of the k-th coefficient
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8x8 type-III DCT basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# idct2(B) = M.T @ B @ M
+_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_lut(bits: list[int], vals: bytes) -> dict:
+    """Canonical huffman (T.81 Annex C): {(length, code) -> value}."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            # past the end: T.81 pads with 1-bits
+            self.acc = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, lut: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            v = lut.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid huffman code in jpeg stream")
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1 EXTEND: s-bit magnitude to signed value
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder (SOF0/SOF1, 8-bit, huffman,
+    1-4 components, any sampling factors, restart markers). Pure
+    stdlib struct + numpy — no codec libraries. Returns the LUMA plane
+    (Y is already ITU-R 601 luma in JFIF), matching the grayscale
+    contract of ``decode_image_bytes``; chroma blocks are entropy-
+    decoded (the bitstream interleaves them) but skip the IDCT.
+
+    Progressive (SOF2) and arithmetic-coded variants raise ValueError —
+    they are rare in web corpora relative to baseline and excluded from
+    this dependency-free kernel.
+    """
+    import struct
+
+    qt: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    h = w = None
+    restart_interval = 0
+    pos = 2
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_table, ac_table)
+    while pos < len(b) - 1:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS: malformed
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"jpeg precision {prec} not supported")
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15,
+                 seg[8 + 3 * i])
+                for i in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"jpeg SOF {marker:#x} (non-baseline) not supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                huffs[(tc, th)] = _huff_lut(bits, seg[p + 17 : p + 17 + nvals])
+                p += 17 + nvals
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq == 0:
+                    tab = np.frombuffer(seg, np.uint8, 64, p + 1).astype(np.int32)
+                    p += 65
+                else:
+                    tab = np.frombuffer(seg, ">u2", 64, p + 1).astype(np.int32)
+                    p += 129
+                qt[tq] = tab
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((by_id[cid], tabs >> 4, tabs & 15))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if h is None or not scan:
+        raise ValueError("jpeg: missing SOF/SOS")
+
+    # split entropy data at restart markers, unstuffing 0xFF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    while pos < len(b):
+        c = b[pos]
+        if c != 0xFF:
+            cur.append(c)
+            pos += 1
+            continue
+        m = b[pos + 1] if pos + 1 < len(b) else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next header
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    yi, ydc, yac = scan[0]
+    ych, ycv, ytq = comps[yi][1], comps[yi][2], comps[yi][3]
+    yplane = np.zeros((mcuy * ycv * 8, mcux * ych * 8))
+    # DQT stores zigzag order; scatter into raster order for dequant
+    yq = np.zeros(64)
+    yq[_JPEG_ZIGZAG] = qt[ytq]
+    yq = yq.reshape(8, 8)
+
+    n_mcu = mcux * mcuy
+    per_seg = restart_interval if restart_interval else n_mcu
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= n_mcu:
+            break
+        reader = _JpegBits(seg_bytes)
+        preds = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, dc_t, ac_t in scan:
+                _cid, ch, cv, _tq = comps[ci]
+                dlut, alut = huffs[(0, dc_t)], huffs[(1, ac_t)]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64)
+                        s = reader.huff(dlut)
+                        preds[ci] += _extend(reader.bits(s), s)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(alut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                            else:
+                                k += r
+                                coef[_JPEG_ZIGZAG[k]] = _extend(reader.bits(s), s)
+                                k += 1
+                        if ci == yi:  # IDCT only the luma plane
+                            blk = coef.reshape(8, 8) * yq
+                            px = _IDCT_M.T @ blk @ _IDCT_M + 128.0
+                            r0 = (my * ycv + by) * 8
+                            c0 = (mx * ych + bx) * 8
+                            yplane[r0 : r0 + 8, c0 : c0 + 8] = px
+            mcu += 1
+
+    # luma sampling can be sub-maximal (rare); scale up to pixel grid
+    if ych != hmax or ycv != vmax:
+        yplane = np.kron(
+            yplane, np.ones((vmax // ycv, hmax // ych))
+        )
+    return np.clip(yplane[:h, :w], 0.0, 255.0)
+
+
 def _decode_real(payload: bytes):
-    """Decoder hook: REAL for PNG/BMP/PPM/PGM (decode_image_bytes);
-    formats needing codec libraries (JPEG/WebP/video) are not decodable
-    in this container."""
+    """Decoder hook: REAL for PNG/BMP/PPM/PGM/baseline-JPEG
+    (decode_image_bytes); formats needing codec libraries
+    (WebP/video/progressive JPEG) are not decodable in this
+    container."""
     try:
         return decode_image_bytes(payload)
     except ValueError as e:
@@ -395,11 +641,12 @@ def thumbnail_image(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Thumbnail pipeline with a REAL decode for PNG/BMP/PPM/PGM
-    payloads (``decode_image_bytes`` — stdlib zlib + numpy, no codec
-    libraries) and the byte-fake fallback for formats this container
-    cannot decode (JPEG/WebP). ``decoded`` reports which path a row
-    took. Same block-mean downsample on both paths."""
+    """Thumbnail pipeline with a REAL decode for PNG/BMP/PPM/PGM and
+    baseline-JPEG payloads (``decode_image_bytes`` — stdlib + numpy, no
+    codec libraries) and the byte-fake fallback for formats this
+    container cannot decode (WebP/video/progressive JPEG). ``decoded``
+    reports which path a row took. Same block-mean downsample on both
+    paths."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -175,6 +175,294 @@ def test_decode_image_bytes_real_formats():
         decode_image_bytes(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
+# ---------------------------------------------------------------------------
+# Minimal baseline-JPEG ENCODER (test-only) — golden source for the
+# decoder round-trip. All-ones quant tables make the codec near-lossless
+# (only DCT-coefficient rounding), so decoded pixels must sit within a
+# few grey levels of the source.
+# ---------------------------------------------------------------------------
+
+def _jpeg_dct_m():
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                (np.sqrt(0.125) if u == 0 else 0.5)
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+
+
+class _JW:
+    """Bit writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_mag(v):
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_block_syms(block, pred, dct_m):
+    """8x8 uint8 block → (dc_diff, [(run, val), ...], needs_eob,
+    new_pred) with coefficients in zigzag order. Per T.81 F.1.2.2, NO
+    EOB follows a block whose last nonzero coefficient is k=63."""
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import _JPEG_ZIGZAG
+
+    coef = dct_m @ (block.astype(np.float64) - 128.0) @ dct_m.T
+    zz = np.round(coef.reshape(64)[_JPEG_ZIGZAG]).astype(int)
+    dc = int(zz[0])
+    acs, run = [], 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+        else:
+            while run > 15:
+                acs.append((15, 0))  # ZRL
+                run -= 16
+            acs.append((run, int(zz[k])))
+            run = 0
+    return dc - pred, acs, run > 0, dc
+
+
+def _jpeg_tables(symbols):
+    """All symbols at code length 8 (canonical): (bits, vals, codebook)."""
+    syms = sorted(set(symbols))
+    assert len(syms) < 250
+    bits = [0] * 16
+    bits[7] = len(syms)
+    return bits, bytes(syms), {s: (8, i) for i, s in enumerate(syms)}
+
+
+def _jpeg_dht(tc, th, bits, vals):
+    import struct
+
+    body = bytes([tc << 4 | th]) + bytes(bits) + vals
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _make_jpeg_gray(img, restart_interval=0):
+    """Encode a grayscale uint8 array as baseline JPEG (1 component,
+    all-ones quant, optional restart markers)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape
+    dct_m = _jpeg_dct_m()
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(img, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+
+    blocks, pred = [], 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            if restart_interval:
+                # each restart segment restarts DC prediction
+                if (my * mcux + mx) % restart_interval == 0:
+                    pred = 0
+            diff, acs, eob, pred = _jpeg_block_syms(blk, pred, dct_m)
+            blocks.append((diff, acs, eob))
+
+    dc_syms, ac_syms = [], [0x00]
+    for diff, acs, eob in blocks:
+        dc_syms.append(_jpeg_mag(diff)[0])
+        for run, v in acs:
+            ac_syms.append(run << 4 | _jpeg_mag(v)[0])
+        if eob:
+            ac_syms.append(0x00)
+    dbits, dvals, dcode = _jpeg_tables(dc_syms)
+    abits, avals, acode = _jpeg_tables(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (b"\xff\xc0" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _jpeg_dht(0, 0, dbits, dvals)
+    out += _jpeg_dht(1, 0, abits, avals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    wtr = _JW()
+    for i, (diff, acs, eob) in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.flush()
+            out += wtr.out + bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            wtr = _JW()
+        s, amp = _jpeg_mag(diff)
+        ln, code = dcode[s]
+        wtr.put(code, ln)
+        wtr.put(amp, s)
+        for run, v in acs:
+            vs, vamp = _jpeg_mag(v)
+            ln, code = acode[run << 4 | vs]
+            wtr.put(code, ln)
+            wtr.put(vamp, vs)
+        if eob:
+            ln, code = acode[0x00]
+            wtr.put(code, ln)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def _make_jpeg_420(yimg):
+    """Baseline JPEG with 4:2:0 sampling: Y from ``yimg`` (16x16-padded
+    uint8), flat chroma (all-zero coefficients) — decoded luma must
+    equal the Y plane."""
+    import struct
+
+    import numpy as np
+
+    h, w = yimg.shape
+    assert h % 16 == 0 and w % 16 == 0
+    dct_m = _jpeg_dct_m()
+    mcux, mcuy = w // 16, h // 16
+
+    blocks, pred = [], 0  # interleaved: 4 Y blocks then Cb then Cr per MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(2):
+                for bx in range(2):
+                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    blk = yimg[r0 : r0 + 8, c0 : c0 + 8]
+                    diff, acs, eob, pred = _jpeg_block_syms(blk, pred, dct_m)
+                    blocks.append(("y", diff, acs, eob))
+            blocks.append(("c", 0, [], True))  # Cb: DC diff 0 + EOB
+            blocks.append(("c", 0, [], True))  # Cr
+
+    dc_syms, ac_syms = [], [0x00]
+    for kind, diff, acs, eob in blocks:
+        if kind == "y":
+            dc_syms.append(_jpeg_mag(diff)[0])
+            for run, v in acs:
+                ac_syms.append(run << 4 | _jpeg_mag(v)[0])
+            if eob:
+                ac_syms.append(0x00)
+    dbits, dvals, dcode = _jpeg_tables(dc_syms)
+    abits, avals, acode = _jpeg_tables(ac_syms)
+    cbits, cvals, ccode = _jpeg_tables([0x00])  # chroma: symbol 0 only
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    comp = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += (b"\xff\xc0" + struct.pack(">H", 17)
+            + struct.pack(">BHHB", 8, h, w, 3) + comp)
+    out += _jpeg_dht(0, 0, dbits, dvals)
+    out += _jpeg_dht(1, 0, abits, avals)
+    out += _jpeg_dht(0, 1, cbits, cvals)
+    out += _jpeg_dht(1, 1, cbits, cvals)
+    out += (b"\xff\xda" + struct.pack(">H", 12)
+            + bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    wtr = _JW()
+    for kind, diff, acs, eob in blocks:
+        if kind == "y":
+            s, amp = _jpeg_mag(diff)
+            ln, code = dcode[s]
+            wtr.put(code, ln)
+            wtr.put(amp, s)
+            for run, v in acs:
+                vs, vamp = _jpeg_mag(v)
+                ln, code = acode[run << 4 | vs]
+                wtr.put(code, ln)
+                wtr.put(vamp, vs)
+            if eob:
+                ln, code = acode[0x00]
+                wtr.put(code, ln)
+        else:
+            ln, code = ccode[0x00]
+            wtr.put(code, ln)  # DC: size 0 (no amplitude bits)
+            wtr.put(code, ln)  # AC: EOB
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_baseline_grayscale_roundtrip():
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import decode_image_bytes
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (24, 17)).astype(np.uint8)  # non-multiple of 8
+    jpg = _make_jpeg_gray(img)
+    out = decode_image_bytes(jpg)
+    assert out.shape == (24, 17)
+    # all-ones quant: only DCT rounding error survives
+    assert np.abs(out - img.astype(np.float64)).max() < 4.0
+
+    # gradient image decodes smoothly too
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    assert np.abs(decode_image_bytes(_make_jpeg_gray(grad))
+                  - grad.astype(np.float64)).max() < 4.0
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import decode_image_bytes
+
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)  # 4 MCUs
+    jpg = _make_jpeg_gray(img, restart_interval=1)
+    assert b"\xff\xd0" in jpg  # RST0 really present
+    out = decode_image_bytes(jpg)
+    assert np.abs(out - img.astype(np.float64)).max() < 4.0
+
+
+def test_decode_jpeg_420_subsampling():
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import decode_image_bytes
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (16, 32)).astype(np.uint8)
+    jpg = _make_jpeg_420(img)
+    out = decode_image_bytes(jpg)
+    assert out.shape == (16, 32)
+    assert np.abs(out - img.astype(np.float64)).max() < 4.0
+
+
+def test_decode_jpeg_progressive_rejected():
+    import struct
+
+    import pytest
+
+    from kgtk_spark.textops.multimodal import decode_image_bytes
+
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_image_bytes(sof2)
+
+
 def test_thumbnail_image_real_and_fallback(spark):
     import numpy as np
 
@@ -182,10 +470,15 @@ def test_thumbnail_image_real_and_fallback(spark):
 
     grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
     png = _make_png(grad, ctype=0)
-    rows = [(1, bytearray(png)), (2, bytearray(b"\xff\xd8 not decodable"))]
+    rows = [(1, bytearray(png)), (2, bytearray(b"\xff\xd8 not decodable")),
+            (3, bytearray(_make_jpeg_gray(grad)))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r for r in thumbnail_image(df, out_h=4, out_w=4).collect()}
     assert out[1]["decoded"] is True
+    # baseline JPEG now takes the REAL decode path: same gradient, so
+    # its thumbnail must match the PNG one within codec rounding
+    assert out[3]["decoded"] is True
+    assert np.allclose(out[3]["pixels"], out[1]["pixels"], atol=2.0)
     # horizontal gradient: each thumbnail row identical, increasing
     pix = np.array(out[1]["pixels"]).reshape(4, 4)
     assert np.allclose(pix[0], pix[3])
