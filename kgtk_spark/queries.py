@@ -1656,6 +1656,39 @@ def q_pii_scrub(spark, sf_dir):
 
 
 @query(
+    "doc_url_dedup",
+    # Independent derivation: the oracle builds the EXPECTED canonical
+    # form directly (lowercased host, :443/fragment/utm params gone),
+    # rather than replaying the engine's regex chain — a stronger check.
+    "SELECT 'https://www.' || source || '.example.com/page/' || "
+    "  CAST(doc_id % 37 AS VARCHAR) || '?id=' || CAST(doc_id % 5 AS VARCHAR) "
+    "  AS canonical_url, "
+    "MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes "
+    "FROM documents GROUP BY 1",
+)
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup, the first stage of a web-corpus pipeline
+    (before any content dedup): canonicalize noisy crawl URLs
+    (mixed-case host, explicit :443, utm tracking params, fragment)
+    and keep one doc per canonical URL — one hash aggregation."""
+    from kgtk_spark.textops.dedup import url_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM:443/page/"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&utm_campaign=crawl#frag"),
+        ).alias("url"),
+    )
+    return url_dedup(noisy, "url", "doc_id")
+
+
+@query(
     "ann_knn_join",
     # double-precision cosine + identical (rounded-score desc, id) rank
     "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
@@ -1756,6 +1789,7 @@ def q_events_daily(spark, sf_dir):
 # every round by tools/check_oracles.py) rotate to the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_HEAD = [
+    "doc_url_dedup",  # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

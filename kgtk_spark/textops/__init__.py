@@ -8,12 +8,14 @@ multimodal binary-column plumbing.
 """
 
 from kgtk_spark.textops.dedup import (
+    canonicalize_url,
     exact_dedup,
     minhash_near_dup,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup,
     simhash_signatures,
+    url_dedup,
 )
 from kgtk_spark.textops.similarity import (
     brute_force_topk,
@@ -40,12 +42,14 @@ from kgtk_spark.textops.multimodal import (
 )
 
 __all__ = [
+    "canonicalize_url",
     "exact_dedup",
     "minhash_signatures",
     "minhash_near_dup",
     "simhash_signatures",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    "url_dedup",
     "brute_force_topk",
     "lsh_bucketed_topk",
     "ivf_build",

@@ -546,3 +546,62 @@ def paragraph_dedup(
             ).alias(text_col)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup — the FIRST dedup stage of a web-corpus pipeline
+# (CCNet / RefinedWeb run URL dedup before any content dedup).
+# ---------------------------------------------------------------------------
+
+# query params that never change page content (analytics/click tracking)
+TRACKING_PARAMS = r"(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)"
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """RFC-3986-flavored URL normalization, pure Catalyst regex chain
+    (JVM-side, codegen-friendly — no Python in the hot path):
+
+    1. drop the fragment (``#...``);
+    2. lowercase scheme and host (path/query stay case-sensitive);
+    3. strip explicit default ports ``:80``/``:443``;
+    4. remove tracking query params (utm_*, fbclid, gclid, msclkid,
+       ref) and repair the separator chain;
+    5. strip a trailing ``/`` (and a bare trailing ``?``/``&``).
+
+    Deterministic and engine-portable: the same steps express in any
+    RE2-class regex dialect (no lookaround), so an external SQL engine
+    can reproduce the canonical form for verification.
+    """
+    u = F.col(url_col)
+    u = F.regexp_replace(u, r"#.*", "")
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    u = F.concat(head, rest)
+    u = F.regexp_replace(u, r"://([^/?:]+):(80|443)(/|\?|$)", "://$1$3")
+    u = F.regexp_replace(u, r"([?&])" + TRACKING_PARAMS + r"=[^&]*", "$1")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/+\?", "?")  # path trailing slash before query
+    u = F.regexp_replace(u, r"/+$", "")
+    return df.withColumn(out_col, u)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: (canonical_url, <id_col> = min id
+    among duplicates — deterministic, no tie ambiguity — and
+    ``n_dupes``).
+
+    Scale shape: canonicalization is embarrassingly parallel; the dedup
+    itself is ONE hash aggregation on the canonical URL with map-side
+    partial aggregation — no window sort, no self-join. URL keys are
+    near-unique, so skew is bounded by crawl duplication itself.
+    """
+    c = canonicalize_url(df, url_col)
+    return c.groupBy("canonical_url").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes")
+    )

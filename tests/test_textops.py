@@ -389,6 +389,35 @@ def test_knn_join_chunked_broadcast_parity(spark):
     assert chunked == plain and len(plain) == 7 * 4
 
 
+def test_canonicalize_url_and_url_dedup(spark):
+    from kgtk_spark.textops.dedup import canonicalize_url, url_dedup
+
+    rows = [
+        (1, "HTTP://Example.com:80/a/b/?utm_source=x&q=1&utm_medium=y#frag"),
+        (2, "http://example.com/a/b?q=1"),            # same page, clean form
+        (3, "https://example.com/a/b?q=1"),           # different scheme → kept
+        (4, "https://Example.COM:443/only-tracking?utm_campaign=z&fbclid=abc"),
+        (5, "https://example.com/only-tracking"),     # dup of 4 post-cleanup
+        (6, "https://example.com/trail/"),
+        (7, "https://example.com/trail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r["doc_id"]: r["canonical_url"]
+             for r in canonicalize_url(df).collect()}
+    assert canon[1] == "http://example.com/a/b?q=1"
+    assert canon[1] == canon[2]
+    assert canon[3] == "https://example.com/a/b?q=1"
+    assert canon[4] == canon[5] == "https://example.com/only-tracking"
+    assert canon[6] == canon[7] == "https://example.com/trail"
+
+    out = {r["canonical_url"]: (r["doc_id"], r["n_dupes"])
+           for r in url_dedup(df).collect()}
+    assert out["http://example.com/a/b?q=1"] == (1, 2)
+    assert out["https://example.com/only-tracking"] == (4, 2)
+    assert out["https://example.com/trail"] == (6, 2)
+    assert len(out) == 4
+
+
 def test_token_count_bpe_regex(spark):
     from kgtk_spark.textops.quality import token_count
 
