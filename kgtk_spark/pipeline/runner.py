@@ -233,7 +233,10 @@ def run_pipeline_fused(
     # triples consumed twice by canonicalize (sameAs split + rewrite).
     triples = S.extract_triples(text_df, alias_dict, alias_count=n_aliases).persist()
     triples.count()
-    canon = S.canonicalize(triples)
+    # rewrite-map rows are bounded by the alias dictionary (every
+    # sameAs endpoint is a dictionary entity) — pass the bound so
+    # canonicalize skips its size probe (no extra job in the hot path)
+    canon = S.canonicalize(triples, size_hint=n_aliases)
     return S.materialize(canon, n_buckets=n_buckets)
 
 

@@ -387,6 +387,7 @@ def canonicalize(
     triples: DataFrame,
     same_as_label: str = SAME_AS_LABEL,
     broadcast_threshold: int = REWRITE_BROADCAST_THRESHOLD,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Collapse sameAs clusters: rewrite node1/node2 to the cluster's
     lexicographically-smallest member; drop the sameAs edges.
@@ -411,10 +412,17 @@ def canonicalize(
     rewrite = assign.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("__from__"), F.col("component").alias("__to__")
     )
-    # The map is consumed twice (node1 pass, node2 pass) and sized once;
-    # persist so the CC fixpoint doesn't replay per consumer.
-    rewrite = rewrite.persist()
-    if rewrite.count() <= broadcast_threshold:
+    # ``size_hint``: an upper bound on rewrite rows the CALLER already
+    # knows (e.g. the fused pipeline bounds it by the alias-dictionary
+    # size) — skips the persist + count probe, keeping the hot path
+    # barrier-free. Without a hint, size once; persist so the CC
+    # fixpoint doesn't replay per consumer (node1 pass + node2 pass).
+    if size_hint is None:
+        rewrite = rewrite.persist()
+        n_rewrite = rewrite.count()
+    else:
+        n_rewrite = size_hint
+    if n_rewrite <= broadcast_threshold:
         rewrite = F.broadcast(rewrite)
     out = (
         rest.join(rewrite, rest["node1"] == rewrite["__from__"], "left")
