@@ -626,9 +626,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--initial-id", type=int, default=1)
     p.add_argument("--overwrite-id", action="store_true")
 
-    p = cmd("sort", run_sort)  # kgtk/cli/sort2.py
-    p.add_argument("-c", "--columns", nargs="*", default=None)
-    p.add_argument("-r", "--reverse", action="store_true")
+    # kgtk has BOTH `sort` and `sort2` (kgtk/cli/sort.py, sort2.py) —
+    # same semantics, different native implementations; on Spark they
+    # are one external sort, registered under both names.
+    for sort_name in ("sort", "sort2"):
+        p = cmd(sort_name, run_sort)
+        p.add_argument("-c", "--columns", nargs="*", default=None)
+        p.add_argument("-r", "--reverse", action="store_true")
 
     p = cmd("head", run_head)
     p.add_argument("-n", type=int, default=10)

@@ -1689,6 +1689,33 @@ def q_url_dedup(spark, sf_dir):
 
 
 @query(
+    "doc_decontaminate",
+    # Independent derivation: the oracle compares GRAM STRINGS (token
+    # slices joined by spaces) while the engine compares rolling hashes
+    # of token hashes — equal results iff the hash path is faithful.
+    "WITH toks AS (SELECT doc_id, "
+    "  string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+    "grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+    "  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i) "
+    "  WHERE len(t) >= 8), "
+    "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 3), "
+    "hits AS (SELECT DISTINCT doc_id FROM grams "
+    "  WHERE g IN (SELECT g FROM bench)) "
+    "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+    "FROM documents d LEFT JOIN hits h USING (doc_id)",
+)
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination (GPT-3 Appendix C / Dodge et al. C4
+    audit): flag training docs sharing any 8-token n-gram with a
+    held-out benchmark set (here: every 37th doc plays the benchmark)."""
+    from kgtk_spark.textops.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 3).select("text")
+    return decontaminate(docs, bench, n=8)
+
+
+@query(
     "ann_knn_join",
     # double-precision cosine + identical (rounded-score desc, id) rank
     "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
@@ -1789,7 +1816,8 @@ def q_events_daily(spark, sf_dir):
 # every round by tools/check_oracles.py) rotate to the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_HEAD = [
-    "doc_url_dedup",  # new in round 4 — never driver-verified
+    "doc_url_dedup",      # new in round 4 — never driver-verified
+    "doc_decontaminate",  # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

@@ -9,6 +9,7 @@ multimodal binary-column plumbing.
 
 from kgtk_spark.textops.dedup import (
     canonicalize_url,
+    decontaminate,
     exact_dedup,
     minhash_near_dup,
     minhash_signatures,
@@ -43,6 +44,7 @@ from kgtk_spark.textops.multimodal import (
 
 __all__ = [
     "canonicalize_url",
+    "decontaminate",
     "exact_dedup",
     "minhash_signatures",
     "minhash_near_dup",

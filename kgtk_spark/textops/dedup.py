@@ -605,3 +605,81 @@ def url_dedup(
     return c.groupBy("canonical_url").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train-test decontamination — flag training docs that share a token
+# n-gram with a held-out benchmark/eval corpus (GPT-3 Appendix C;
+# Dodge et al. 2021's C4 benchmark-contamination audit use 13-grams).
+# ---------------------------------------------------------------------------
+
+def _gram_hash_col(n: int):
+    """array<bigint> of rolling n-gram hashes over JVM token hashes.
+
+    Docs shorter than ``n`` tokens have NO n-gram (empty array) — they
+    cannot be contaminated, matching the definition (note this differs
+    from the MinHash shingle fallback, which collapses short docs to a
+    whole-doc hash)."""
+
+    @F.pandas_udf("array<bigint>")
+    def gh(th: pd.Series) -> pd.Series:
+        out = []
+        for arr in th:
+            if arr is None or len(arr) < n:
+                out.append([])
+            else:
+                out.append(
+                    _shingle_hashes_np(np.asarray(arr, dtype=np.int64), n)
+                    .astype(np.int64)
+                    .tolist()
+                )
+        return pd.Series(out)
+
+    return gh
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
+    """(id, contaminated: boolean) — true iff the doc shares at least
+    one whitespace-token ``n``-gram with any benchmark text.
+
+    Scale shape: BOTH sides reduce to 64-bit rolling n-gram hashes
+    (xxhash64 tokens JVM-side, Arrow-batched numpy combine — no gram
+    STRINGS are ever materialized or shuffled; at 100 TB the gram-string
+    explode would dwarf the corpus). The benchmark gram set — the small
+    side by construction (an eval suite, not a crawl) — broadcasts into
+    a semi-join under ``broadcast_threshold`` distinct grams and falls
+    back to a shuffle semi-join above it. One distinct per side, one
+    semi-join, one left join back to ids: no quadratic path anywhere.
+    """
+    gh = _gram_hash_col(n)
+    bench = (
+        benchmark.select(
+            F.explode(gh(token_hashes(F.col(bench_text_col)))).alias("__gh__")
+        ).distinct()
+    )
+    if bench.count() <= broadcast_threshold:
+        bench = F.broadcast(bench)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(gh(token_hashes(F.col(text_col)))).alias("__gh__")
+    )
+    hits = (
+        doc_grams.join(bench, "__gh__", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__c__", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("__c__"), F.lit(False)).alias("contaminated")
+        )
+    )

@@ -224,6 +224,11 @@ def test_cli_parser_covers_core_commands():
          "--rootfilecolumn", "node1"],
         ["implode", "-i", "a", "-o", "c", "--reject-file", "r"],
         ["head", "-i", "a", "-o", "-", "-n", "5"],
+        ["sort2", "-i", "a", "-o", "c", "-c", "node1", "-r"],
+        ["import-conceptnet", "-i", "a", "-o", "c", "--english-only"],
+        ["import-wikidata", "-i", "a", "-o", "c", "--node-file", "n"],
+        ["export-wikidata", "-i", "a", "-o", "c"],
+        ["text-embedding", "-i", "a", "-o", "c", "--dim", "32"],
     ]:
         args = p.parse_args(cmdline)
         assert callable(args.runner)

@@ -418,6 +418,38 @@ def test_canonicalize_url_and_url_dedup(spark):
     assert len(out) == 4
 
 
+def test_decontaminate(spark):
+    from kgtk_spark.textops.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a totally different sentence with no overlap at all here"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+            (4, "quick brown fox jumps over the lazy"),  # only a 7-gram → clean at n=8
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("xx the quick brown fox jumps over the lazy dog yy",)], "text string"
+    )
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(docs, bench, n=8).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+    # every doc keeps a row even when nothing is contaminated
+    clean = decontaminate(docs, bench.limit(0), n=8)
+    assert {r["contaminated"] for r in clean.collect()} == {False}
+    assert clean.count() == 5
+
+    # forcing the shuffle path (threshold 0) gives identical answers
+    shuf = {r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, n=8,
+                                   broadcast_threshold=0).collect()}
+    assert shuf == out
+
+
 def test_token_count_bpe_regex(spark):
     from kgtk_spark.textops.quality import token_count
 
