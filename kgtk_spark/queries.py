@@ -1593,6 +1593,32 @@ def _kmv_oracle(k: int = 64) -> str:
     )
 
 
+def _stable_sample_oracle(rate: float, salt: str = "s1") -> str:
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    cutoff = int(rate * float(2**60))
+    return (
+        "WITH hh AS (SELECT doc_id, source, "
+        f"CAST({hexparse} AS BIGINT) AS hv FROM "
+        f"(SELECT doc_id, source, md5('{salt}' || CAST(doc_id AS VARCHAR)) AS h "
+        "FROM documents)) "
+        f"SELECT doc_id, source FROM hh WHERE hv < {cutoff}"
+    )
+
+
+@query("doc_stable_sample", _stable_sample_oracle(0.2))
+def q_stable_sample(spark, sf_dir):
+    """Deterministic content-hash corpus sampling (20% by doc_id hash,
+    salted): rerun-stable, rate-nesting, no RNG — the way a 100 TB
+    corpus is subsampled. The oracle replays the md5-60bit cutoff."""
+    from kgtk_spark.textops.sketches import stable_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stable_sample(docs, "doc_id", 0.2, salt="s1")
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -1818,6 +1844,7 @@ def q_events_daily(spark, sf_dir):
 _DRIVER_HEAD = [
     "doc_url_dedup",      # new in round 4 — never driver-verified
     "doc_decontaminate",  # new in round 4 — never driver-verified
+    "doc_stable_sample",  # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

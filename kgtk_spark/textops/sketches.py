@@ -79,3 +79,31 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFr
         F.sort_array(F.collect_list("__h__")).alias("sketch"),
         F.count(F.lit(1)).alias("n_seen"),
     )
+
+
+def stable_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff
+    hash60(salt || key) / 2^60 < ``rate``.
+
+    The production way to subsample a 100 TB corpus: no RNG state, no
+    seed-per-partition coupling — membership is a pure function of the
+    KEY, so (a) reruns/backfills select the SAME rows, (b) samples at
+    different rates NEST (a 1% sample is a subset of a 10% sample),
+    (c) different ``salt`` values give independent samples for held-out
+    splits. Embarrassingly parallel, no shuffle; the same md5-60bit
+    hash as the KMV sketch, so the selection is reproducible in ANSI
+    SQL for verification (``rand(seed)`` is not portable across
+    engines or even partitionings).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}', cast(`{key_col}` as string))), "
+        f"1, {_HEX_WIDTH}), 16, 10) as bigint)"
+    )
+    return df.filter(h < F.lit(int(rate * _SPACE)).cast("long"))

@@ -418,6 +418,29 @@ def test_canonicalize_url_and_url_dedup(spark):
     assert len(out) == 4
 
 
+def test_stable_sample_deterministic_and_nesting(spark):
+    from kgtk_spark.textops.sketches import stable_sample
+
+    import pytest
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in stable_sample(df, "doc_id", 0.10).collect()}
+    s30 = {r["doc_id"] for r in stable_sample(df, "doc_id", 0.30).collect()}
+    # deterministic: same selection on rerun
+    assert s10 == {r["doc_id"] for r in stable_sample(df, "doc_id", 0.10).collect()}
+    # nesting: a 10% sample is a subset of the 30% sample
+    assert s10 <= s30
+    # rates are approximately honored (±4 pp at n=2000)
+    assert 0.06 < len(s10) / 2000 < 0.14
+    assert 0.26 < len(s30) / 2000 < 0.34
+    # salts decorrelate: overlap of two independent 30% samples ≈ 9%
+    other = {r["doc_id"]
+             for r in stable_sample(df, "doc_id", 0.30, salt="x").collect()}
+    assert len(s30 & other) / 2000 < 0.2
+    with pytest.raises(ValueError):
+        stable_sample(df, "doc_id", 1.5)
+
+
 def test_decontaminate(spark):
     from kgtk_spark.textops.dedup import decontaminate
 
