@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "events_daily",
     "cskg_conceptnet",
     "wikidata_rdf_triples",
+    # round-4 additions
+    "doc_url_dedup",
+    "doc_decontaminate",
+    "doc_stable_sample",
 ]
 
 

@@ -1619,6 +1619,129 @@ def q_stable_sample(spark, sf_dir):
     return stable_sample(docs, "doc_id", 0.2, salt="s1")
 
 
+@query(
+    "multimodal_wav_features",
+    # Independent derivation: the oracle computes the features straight
+    # from the sample FORMULA in SQL; the engine routes the same
+    # samples through a real WAV encode -> stdlib wave decode ->
+    # numpy RMS/zero-crossing. Integer samples make every aggregate
+    # bit-exact in float64 on both engines.
+    "WITH ids AS (SELECT doc_id FROM documents), "
+    "samp AS (SELECT doc_id, i, "
+    "  (((doc_id * 31 + i * 17) % 256) - 128) * 100 AS x "
+    "  FROM ids, LATERAL unnest(generate_series(0, 999)) AS s(i)), "
+    "feat AS (SELECT doc_id, sqrt(avg(CAST(x * x AS DOUBLE))) AS rms "
+    "  FROM samp GROUP BY doc_id), "
+    "zc AS (SELECT doc_id, "
+    "  avg(CASE WHEN (x < 0) <> (px < 0) THEN 1.0 ELSE 0.0 END) AS z "
+    "  FROM (SELECT doc_id, i, x, "
+    "    lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM samp) "
+    "  WHERE px IS NOT NULL GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(8000 AS INT) AS sample_rate, "
+    "CAST(1 AS INT) AS n_channels, CAST(1000 AS BIGINT) AS n_samples, "
+    "CAST(0.125 AS DOUBLE) AS duration_sec, ROUND(f.rms, 6) AS rms, "
+    "ROUND(zc.z, 6) AS zero_crossing_rate "
+    "FROM ids d JOIN feat f USING (doc_id) JOIN zc USING (doc_id)",
+)
+def q_wav_features(spark, sf_dir):
+    """REAL multimodal decode under the value-hash gate: deterministic
+    int16 samples -> stdlib ``wave`` encode (Arrow-batched) ->
+    ``audio_features``'s actual WAV decode + RMS/zero-crossing."""
+    from kgtk_spark.textops.multimodal import audio_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                i = np.arange(1000, dtype=np.int64)
+                s = (((int(d) * 31 + i * 17) % 256) - 128) * 100
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(s.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    f = audio_features(wavs)
+    return f.select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
+
+
+@query(
+    "multimodal_png_thumbnails",
+    # Oracle computes 4x4 block means straight from the pixel FORMULA;
+    # the engine round-trips the same pixels through a real PNG encode
+    # (zlib) -> decode_image_bytes -> block-mean thumbnail. Integer
+    # pixels keep the means bit-exact in float64 on both engines.
+    "WITH ids AS (SELECT doc_id FROM documents), "
+    "px AS (SELECT doc_id, (i // 16) AS y, (i % 16) AS x, "
+    "  (doc_id * 7 + (i // 16) * 16 + (i % 16) * 3) % 256 AS v "
+    "  FROM ids, LATERAL unnest(generate_series(0, 255)) AS s(i)) "
+    "SELECT doc_id, CAST(y // 4 AS INT) AS r, CAST(x // 4 AS INT) AS c, "
+    "ROUND(avg(CAST(v AS DOUBLE)), 6) AS mean_luma "
+    "FROM px GROUP BY doc_id, y // 4, x // 4",
+)
+def q_png_thumbnails(spark, sf_dir):
+    """REAL image decode under the value-hash gate: deterministic 16x16
+    grayscale pixels -> stdlib PNG encode (Arrow-batched) -> the real
+    zlib-inflate PNG decoder -> 4x4 block-mean thumbnails."""
+    from kgtk_spark.textops.multimodal import thumbnail_image
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def chunk(tag, data):
+            c = struct.pack(">I", len(data)) + tag + data
+            return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0)
+        y, x = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                px = ((int(d) * 7 + y * 16 + x * 3) % 256).astype(np.uint8)
+                raw = b"".join(b"\x00" + px[r].tobytes() for r in range(16))
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    t = thumbnail_image(pngs, out_h=4, out_w=4)
+    return (
+        t.filter(F.col("decoded"))
+        .select("doc_id", F.posexplode("pixels").alias("idx", "v"))
+        .select(
+            "doc_id",
+            F.floor(F.col("idx") / 4).cast("int").alias("r"),
+            (F.col("idx") % 4).cast("int").alias("c"),
+            F.round("v", 6).alias("mean_luma"),
+        )
+    )
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -1842,9 +1965,11 @@ def q_events_daily(spark, sf_dir):
 # every round by tools/check_oracles.py) rotate to the tail.
 # ---------------------------------------------------------------------------
 _DRIVER_HEAD = [
-    "doc_url_dedup",      # new in round 4 — never driver-verified
-    "doc_decontaminate",  # new in round 4 — never driver-verified
-    "doc_stable_sample",  # new in round 4 — never driver-verified
+    "doc_url_dedup",            # new in round 4 — never driver-verified
+    "doc_decontaminate",        # new in round 4 — never driver-verified
+    "doc_stable_sample",        # new in round 4 — never driver-verified
+    "multimodal_wav_features",  # new in round 4 — never driver-verified
+    "multimodal_png_thumbnails",  # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",
