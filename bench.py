@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "doc_url_dedup",
     "doc_decontaminate",
     "doc_stable_sample",
+    "doc_span_dedup",
+    "doc_token_df",
+    "multimodal_wav_features",
 ]
 
 

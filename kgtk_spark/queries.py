@@ -1742,6 +1742,58 @@ def q_png_thumbnails(spark, sf_dir):
     )
 
 
+@query(
+    "doc_token_df",
+    "WITH toks AS (SELECT doc_id, "
+    "  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), "
+    "lt AS (SELECT doc_id, lower(tok) AS token FROM toks WHERE tok <> '') "
+    "SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf "
+    "FROM lt GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 5",
+)
+def q_token_df(spark, sf_dir):
+    """Corpus vocabulary statistics: per-token document frequency +
+    total term frequency (stopword/IDF/vocab-pruning raw material),
+    one hash aggregation."""
+    from kgtk_spark.textops.quality import token_df
+
+    docs = load(spark, sf_dir, "documents")
+    return token_df(docs).filter(F.col("df") >= 5)
+
+
+@query(
+    "doc_span_dedup",
+    # Oracle replays the policy on gram STRINGS (engine uses rolling
+    # hashes): tokens covered by any corpus-repeated 8-gram drop,
+    # survivors rejoin in order; fully-covered docs keep an empty row.
+    "WITH toks AS (SELECT doc_id, "
+    "  string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+    "tok AS (SELECT doc_id, i AS pos, t[i] AS token "
+    "  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS s(i)), "
+    "grams AS (SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS g "
+    "  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i) "
+    "  WHERE len(t) >= 8), "
+    "hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2), "
+    "covered AS (SELECT DISTINCT doc_id, p + j AS pos "
+    "  FROM grams, LATERAL unnest(generate_series(0, 7)) AS s(j) "
+    "  WHERE g IN (SELECT g FROM hot)), "
+    "kept AS (SELECT tok.doc_id, tok.pos, tok.token FROM tok "
+    "  LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.pos = c.pos "
+    "  WHERE c.pos IS NULL), "
+    "reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text "
+    "  FROM kept GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(r.text, '') AS text "
+    "FROM documents d LEFT JOIN reb r USING (doc_id)",
+)
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicate-span removal (Lee et al. 2022 ExactSubstr at
+    8-token granularity): corpus-repeated spans are cut from every doc,
+    survivors rejoin in order."""
+    from kgtk_spark.textops.dedup import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=8, min_occurrences=2)
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -1970,6 +2022,8 @@ _DRIVER_HEAD = [
     "doc_stable_sample",        # new in round 4 — never driver-verified
     "multimodal_wav_features",  # new in round 4 — never driver-verified
     "multimodal_png_thumbnails",  # new in round 4 — never driver-verified
+    "doc_token_df",             # new in round 4 — never driver-verified
+    "doc_span_dedup",           # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

@@ -14,6 +14,7 @@ from kgtk_spark.textops.dedup import (
     minhash_near_dup,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash_near_dup,
     simhash_signatures,
     url_dedup,
@@ -29,6 +30,7 @@ from kgtk_spark.textops.quality import (
     doc_fingerprint,
     repetition_signals,
     language_id,
+    token_df,
     quality_score,
     token_count,
 )
@@ -51,6 +53,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup",
     "ngram_jaccard_pairs",
+    "remove_duplicate_spans",
     "url_dedup",
     "brute_force_topk",
     "lsh_bucketed_topk",
@@ -60,6 +63,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_count",
+    "token_df",
     "doc_fingerprint",
     "repetition_signals",
     "salted_join",

@@ -683,3 +683,108 @@ def decontaminate(
             id_col, F.coalesce(F.col("__c__"), F.lit(False)).alias("contaminated")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span removal — Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" (ExactSubstr), at n-token
+# granularity instead of a suffix array: any n-token span whose content
+# repeats corpus-wide is cut from every document.
+# ---------------------------------------------------------------------------
+
+def _positional_gram_hashes_np(th: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-gram hashes at EVERY position (no dedup — position i
+    of the output is the gram starting at token i)."""
+    t = th.astype(np.uint64)
+    if t.size < k:
+        return np.array([], dtype=np.uint64)
+    m = t.size - k + 1
+    h = t[:m].copy()
+    for j in range(1, k):
+        h = h * _POLY + t[j : m + j]
+    return _splitmix64(h)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """(id, text) with every corpus-repeated n-token span removed and
+    the surviving tokens rejoined IN ORDER (docs shrinking to nothing
+    keep a row with empty text).
+
+    Policy: a token is dropped iff ANY n-gram covering it occurs
+    ``min_occurrences``+ times corpus-wide (both copies go — a
+    conservative, symmetric variant of Lee et al.'s keep-one).
+
+    Scale shape: positional gram hashes (JVM token hashes + Arrow
+    rolling combine — 8 bytes/gram, never gram strings), ONE count
+    aggregation for hot grams, a semi-join back for hot positions, a
+    bounded explode (n rows per hot position, deduped) for coverage,
+    and one regroup to reassemble. No suffix array, no global sort;
+    every join key is hashed and shuffle-partitioned.
+    """
+    toks_col = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks_col.alias("__toks__"))
+
+    @F.pandas_udf("array<bigint>")
+    def pos_gh(th: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _positional_gram_hashes_np(np.asarray(arr, dtype=np.int64), n)
+                .astype(np.int64)
+                .tolist()
+                if arr is not None
+                else []
+                for arr in th
+            ]
+        )
+
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            pos_gh(F.transform("__toks__", lambda t: F.xxhash64(t)))
+        ).alias("__p__", "__g__"),
+    ).localCheckpoint()  # consumed by the hot count AND the position join
+    hot = (
+        grams.groupBy("__g__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= min_occurrences)
+        .select("__g__")
+    )
+    covered = (
+        grams.join(hot, "__g__", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p__"), F.col("__p__") + (n - 1))
+            ).alias("__pos__"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        F.col(id_col), F.posexplode("__toks__").alias("__pos__", "__tok__")
+    )
+    rebuilt = (
+        tokens.join(covered, [id_col, "__pos__"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos__"), F.col("__tok__")))
+                    ),
+                    lambda s: s["__tok__"],
+                ),
+                " ",
+            ).alias(text_col)
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

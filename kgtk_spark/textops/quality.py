@@ -231,3 +231,30 @@ def scrub_pii(
             )
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     return out.withColumn(text_col, scrubbed)
+
+
+def token_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(token, df, total_tf) — document frequency and total term
+    frequency per whitespace token, the raw material for stopword
+    lists, IDF weighting, and vocabulary pruning at corpus scale.
+
+    Plan: explode tokens (JVM split, no Python), ONE hash aggregation
+    on (token) computing count(distinct doc) + count(*). The distinct
+    runs inside the aggregate (partial per-partition distinct maps),
+    not as a separate shuffle of (token, doc) pairs per occurrence.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = F.explode(toks).alias("token")
+    exploded = docs.select(F.col(id_col), t)
+    if lowercase:
+        exploded = exploded.withColumn("token", F.lower(F.col("token")))
+    exploded = exploded.filter(F.col("token") != "")
+    return exploded.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )

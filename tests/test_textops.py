@@ -441,6 +441,57 @@ def test_stable_sample_deterministic_and_nesting(spark):
         stable_sample(df, "doc_id", 1.5)
 
 
+def test_token_df(spark):
+    from kgtk_spark.textops.quality import token_df
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat"), (2, "the cat ran"), (3, "a dog ran ran")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: (r["df"], r["total_tf"]) for r in token_df(docs).collect()}
+    assert out["the"] == (2, 2)       # lowercased merge of The/the
+    assert out["cat"] == (2, 2)
+    assert out["ran"] == (2, 3)       # doc 3 counts once for df, twice for tf
+    assert out["a"] == (1, 1)
+
+
+def test_remove_duplicate_spans(spark):
+    from kgtk_spark.textops.dedup import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us for terms"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"delta {boiler} epsilon zeta"),
+            (3, "totally unique text with no repeats at all"),
+            (4, boiler),             # exactly one 7-gram: the hot one → ""
+            (5, f"{boiler} extra"),  # hot gram covers pos 0-6 → "extra"
+            (6, "six tokens only in here now"),  # < n → no gram, untouched
+        ],
+        "doc_id long, text string",
+    )
+    # n=7: the boilerplate is exactly one 7-gram, repeated across docs
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(docs, n=7).collect()}
+    assert out[1] == "alpha beta gamma"
+    assert out[2] == "delta epsilon zeta"
+    assert out[3] == "totally unique text with no repeats at all"
+    assert out[4] == ""
+    assert out[5] == "extra"
+    assert out[6] == "six tokens only in here now"
+
+    # a doc that is ENTIRELY a repeated span keeps an empty row
+    dup = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four"),
+         (3, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(dup, n=4).collect()}
+    assert out[1] == "" and out[2] == ""
+    assert out[3] == "five six seven eight"
+
+
 def test_decontaminate(spark):
     from kgtk_spark.textops.dedup import decontaminate
 
