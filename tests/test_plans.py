@@ -189,3 +189,57 @@ def test_lsh_candidates_share_one_exchange(spark):
     # the second join side consumes the SAME shuffle (ReusedExchange),
     # or AQE replaced it by a broadcast built over the reused stage
     assert "ReusedExchange" in final, final
+
+
+def test_url_dedup_single_exchange_and_pruning(spark, tmp_path_factory):
+    from kgtk_spark.textops.dedup import url_dedup
+
+    path = str(tmp_path_factory.mktemp("docs") / "d.parquet")
+    spark.createDataFrame(
+        [(i, f"https://ex.com/p/{i % 5}?utm_source=x", "body", 4) for i in range(50)],
+        ["doc_id", "url", "text", "n_chars"],
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    plan = plan_of(url_dedup(docs, "url", "doc_id"))
+    # one shuffle total (the canonical-url aggregation); formatted
+    # explain lists each node in the tree AND a detail block, so count
+    # detail headers
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    # …with map-side partial aggregation before it
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    # column pruning: text/n_chars never read
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0] and "n_chars" not in read[0], read
+    # no Python in the plan — the regex chain is pure Catalyst
+    assert "Python" not in plan, plan
+
+
+def test_stable_sample_no_shuffle_one_codegen(spark, tmp_path_factory):
+    from kgtk_spark.textops.sketches import stable_sample
+
+    path = str(tmp_path_factory.mktemp("docs2") / "d.parquet")
+    spark.createDataFrame(
+        [(i, "t") for i in range(100)], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    plan = plan_of(stable_sample(docs, "doc_id", 0.2))
+    assert "Exchange" not in plan, plan        # embarrassingly parallel
+    assert "[codegen id : 1]" in plan, plan    # single codegen'd filter
+    assert "Python" not in plan, plan
+
+
+def test_decontaminate_no_gram_strings_shuffled(spark):
+    from kgtk_spark.textops.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(30)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([("tok " * 20,)], ["text"])
+    plan = plan_of(decontaminate(docs, bench, n=8))
+    # the semi-join key is the 64-bit gram hash, not a string gram:
+    # no concat/array_join of token slices anywhere in the plan
+    assert "array_join" not in plan and "slice(" not in plan, plan
+    # benchmark gram set broadcasts (small side)
+    assert "BroadcastHashJoin" in plan, plan
