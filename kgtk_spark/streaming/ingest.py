@@ -77,3 +77,49 @@ def windowed_edge_counts(
             "n_pages",
         )
     )
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    trigger_once: bool = True,
+):
+    """Streaming twin of exact_dedup: cross-micro-batch content dedup.
+
+    The content hash goes through the state store (``dropDuplicates``),
+    so a document seen in batch 1 is dropped when it reappears in batch
+    40 — the semantics a crawl-ingest pipeline needs. With ``ts_col``
+    set, the state is BOUNDED: a watermark on the event time +
+    ``dropDuplicatesWithinWatermark`` lets Spark evict state older than
+    the lateness bound (the production mode — unbounded state on a
+    100 TB crawl is a leak). Without it, state grows with distinct
+    content (acceptable only for bounded backfills). Exactly-once via
+    checkpoint + parquet sink.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    hashed = stream.withColumn("__ch__", F.sha2(F.col(text_col), 256))
+    if ts_col:
+        dedup = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__ch__"]
+        )
+    else:
+        dedup = hashed.dropDuplicates(["__ch__"])
+    writer = (
+        dedup.drop("__ch__")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -95,3 +95,36 @@ def test_stateful_running_counts(spark, tmp_path):
     for r in rows:
         latest[r["node1"]] = max(latest.get(r["node1"], 0), r["total_edges"])
     assert latest == {"Q1": 2, "Q2": 1}
+
+
+def test_streaming_cross_batch_dedup(spark, tmp_path):
+    import time
+
+    from kgtk_spark.streaming.ingest import stream_dedup_documents
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    # two files → two micro-batches (maxFilesPerTrigger=1); the overlap
+    # between them must be caught by the cross-batch state store
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(docs_dir / "b1"))
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(docs_dir / "b2"))
+
+    out = tmp_path / "out"
+    q = stream_dedup_documents(
+        spark,
+        f"{docs_dir}/*",
+        str(out),
+        str(tmp_path / "ckpt"),
+        schema="doc_id long, text string",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    texts = [r["text"] for r in got.collect()]
+    assert sorted(texts) == ["alpha text", "beta text", "gamma text"]
