@@ -1794,6 +1794,74 @@ def q_span_dedup(spark, sf_dir):
     return remove_duplicate_spans(docs, n=8, min_occurrences=2)
 
 
+@query(
+    "doc_gopher_quality",
+    "WITH b AS (SELECT doc_id, text, trim(text) AS tr FROM documents), "
+    "m AS (SELECT doc_id, text, tr, "
+    "  string_split_regex(tr, '\\s+') AS toks, "
+    "  string_split(text, chr(10)) AS lines FROM b), "
+    "f AS (SELECT doc_id, "
+    "  CASE WHEN tr = '' THEN 0 ELSE len(toks) END AS n_words, "
+    "  len(regexp_replace(tr, '\\s+', '', 'g')) AS n_nonspace, "
+    "  (len(tr) - len(replace(tr, '#', ''))) "
+    "    + (len(tr) - len(replace(tr, '...', ''))) / 3 AS symbols, "
+    "  len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) "
+    "    AS n_bullet, "
+    "  len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) "
+    "    AS n_ellip, "
+    "  len(lines) AS n_lines, "
+    "  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha, "
+    "  len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), "
+    "    ['the','be','to','of','and','that','have','with'])) AS n_stop "
+    "  FROM m) "
+    "SELECT doc_id, n_words AS g_word_count, "
+    "ROUND(CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words "
+    "  ELSE 0.0 END, 6) AS g_mean_word_len, "
+    "ROUND(CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words "
+    "  ELSE 0.0 END, 6) AS g_symbol_ratio, "
+    "ROUND(CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words "
+    "  ELSE 0.0 END, 6) AS g_alpha_frac, "
+    "n_stop AS g_n_stopwords, "
+    "(n_words >= 20 AND n_words <= 100000) AS pass_word_count, "
+    "(CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words "
+    "  ELSE 0.0 END BETWEEN 3.0 AND 10.0) AS pass_mean_word_len, "
+    "(CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words "
+    "  ELSE 0.0 END <= 0.1) AS pass_symbol_ratio, "
+    "(CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 "
+    " AND CAST(n_ellip AS DOUBLE) / n_lines <= 0.3) AS pass_bullets, "
+    "(CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words "
+    "  ELSE 0.0 END >= 0.8) AS pass_alpha, "
+    "(n_stop >= 2) AS pass_stopwords, "
+    "((n_words >= 20 AND n_words <= 100000) "
+    " AND (CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / n_words "
+    "   ELSE 0.0 END BETWEEN 3.0 AND 10.0) "
+    " AND (CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words "
+    "   ELSE 0.0 END <= 0.1) "
+    " AND (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9 "
+    "   AND CAST(n_ellip AS DOUBLE) / n_lines <= 0.3) "
+    " AND (CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words "
+    "   ELSE 0.0 END >= 0.8) "
+    " AND (n_stop >= 2)) AS gopher_pass "
+    "FROM f",
+)
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 Table A1) as per-rule
+    flags — the standard web-corpus pre-filter; min_words lowered to 20
+    for the synthetic short-doc corpus."""
+    from kgtk_spark.textops.quality import gopher_quality_flags
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality_flags(docs, min_words=20)
+    return out.select(
+        "doc_id",
+        F.col("g_word_count").cast("long").alias("g_word_count"),
+        "g_mean_word_len", "g_symbol_ratio", "g_alpha_frac",
+        F.col("g_n_stopwords").cast("long").alias("g_n_stopwords"),
+        "pass_word_count", "pass_mean_word_len", "pass_symbol_ratio",
+        "pass_bullets", "pass_alpha", "pass_stopwords", "gopher_pass",
+    )
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -2024,6 +2092,7 @@ _DRIVER_HEAD = [
     "multimodal_png_thumbnails",  # new in round 4 — never driver-verified
     "doc_token_df",             # new in round 4 — never driver-verified
     "doc_span_dedup",           # new in round 4 — never driver-verified
+    "doc_gopher_quality",       # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

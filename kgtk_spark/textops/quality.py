@@ -258,3 +258,87 @@ def token_df(
         F.countDistinct(id_col).alias("df"),
         F.count(F.lit(1)).alias("total_tf"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, Table A1) as per-rule
+    flags + an overall ``gopher_pass`` — the standard pre-filter of a
+    web-scale LLM corpus. Pure Catalyst expressions (every rule is also
+    expressible verbatim in ANSI SQL for verification):
+
+    - word count within [min_words, max_words];
+    - mean word length within [min, max];
+    - symbol-to-word ratio ('#' and '...') at most ``max_symbol_ratio``;
+    - at most ``max_bullet_frac`` of lines starting with a bullet and
+      ``max_ellipsis_frac`` ending with an ellipsis;
+    - at least ``min_alpha_frac`` of words containing a letter;
+    - at least ``min_stopwords`` distinct common stopwords present.
+    """
+    c = F.trim(F.col(text_col))
+    toks = F.split(c, r"\s+")
+    n_words = F.when(c == "", F.lit(0)).otherwise(F.size(toks))
+    # mean token length = chars-without-whitespace / word count
+    mean_wl = F.when(
+        n_words > 0,
+        F.length(F.regexp_replace(c, r"\s+", "")) / n_words,
+    ).otherwise(F.lit(0.0))
+    symbols = _count_occurrences(c, "#") + _count_occurrences(c, "...")
+    sym_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "pass_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "pass_symbol_ratio": sym_ratio <= max_symbol_ratio,
+        "pass_bullets": (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac),
+        "pass_alpha": alpha_frac >= min_alpha_frac,
+        "pass_stopwords": n_stop >= min_stopwords,
+    }
+    out = (
+        df.withColumn("g_word_count", n_words)
+        .withColumn("g_mean_word_len", F.round(mean_wl, 6))
+        .withColumn("g_symbol_ratio", F.round(sym_ratio, 6))
+        .withColumn("g_alpha_frac", F.round(alpha_frac, 6))
+        .withColumn("g_n_stopwords", n_stop)
+    )
+    overall = None
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        overall = expr if overall is None else (overall & expr)
+    return out.withColumn("gopher_pass", overall)

@@ -441,6 +441,32 @@ def test_stable_sample_deterministic_and_nesting(spark):
         stable_sample(df, "doc_id", 1.5)
 
 
+def test_gopher_quality_flags(spark):
+    from kgtk_spark.textops.quality import gopher_quality_flags
+
+    good = ("the quick brown fox and the lazy dog have been seen to run "
+            "with great speed over many of those green fields that stretch")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                               # passes everything
+            (2, "short text"),                       # fails word count
+            (3, "- item one\n- item two\n- item three"),  # all bullets
+            (4, "## ## ## " * 10 + good),            # symbol ratio blown
+            (5, "zz qq ww " * 10),                   # no stopwords, short words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_quality_flags(docs, min_words=15,
+                                max_bullet_frac=0.5).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["pass_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["pass_bullets"] is False
+    assert out[4]["pass_symbol_ratio"] is False
+    assert out[5]["pass_stopwords"] is False
+    assert out[5]["pass_mean_word_len"] is False  # mean len 2 < 3
+
+
 def test_token_df(spark):
     from kgtk_spark.textops.quality import token_df
 
