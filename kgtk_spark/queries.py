@@ -1862,6 +1862,44 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+@query(
+    "doc_c4_filters",
+    "WITH b AS (SELECT doc_id, text, "
+    "  list_filter(string_split(text, chr(10)), "
+    "    x -> regexp_matches(trim(x), '[.!?\"]$') "
+    "     AND len(string_split_regex(trim(x), '\\s+')) >= 2) AS kept "
+    "  FROM documents), "
+    "c AS (SELECT doc_id, text, kept, "
+    "  COALESCE(array_to_string(list_transform(kept, x -> trim(x)), chr(10)), "
+    "           '') AS clean "
+    "  FROM b), "
+    "f AS (SELECT doc_id, clean AS clean_text, "
+    "  CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+    "  CAST(len(list_filter(string_split_regex(clean, '[.!?]'), "
+    "    s -> trim(s) <> '')) AS BIGINT) AS n_sentences, "
+    "  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum, "
+    "  contains(text, '{') AS has_curly_brace FROM c) "
+    "SELECT doc_id, clean_text, n_kept_lines, n_sentences, "
+    "has_lorem_ipsum, has_curly_brace, "
+    "(n_sentences >= 2 AND NOT has_lorem_ipsum AND NOT has_curly_brace) "
+    "  AS c4_keep FROM f",
+)
+def q_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct +
+    min-word line filter, sentence-count / lorem-ipsum / code-brace
+    document gates (thresholds relaxed for the synthetic short docs)."""
+    from kgtk_spark.textops.quality import c4_filters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = c4_filters(docs, min_words_per_line=2, min_sentences=2)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem_ipsum", "has_curly_brace", "c4_keep",
+    )
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -2093,6 +2131,7 @@ _DRIVER_HEAD = [
     "doc_token_df",             # new in round 4 — never driver-verified
     "doc_span_dedup",           # new in round 4 — never driver-verified
     "doc_gopher_quality",       # new in round 4 — never driver-verified
+    "doc_c4_filters",           # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

@@ -342,3 +342,46 @@ def gopher_quality_flags(
         out = out.withColumn(name, expr)
         overall = expr if overall is None else (overall & expr)
     return out.withColumn("gopher_pass", overall)
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as line-level
+    cleanup + document flags — the other canonical web-corpus filter
+    set beside Gopher:
+
+    - keep only lines that end in terminal punctuation (. ! ? ")
+      AND carry at least ``min_words_per_line`` words;
+    - ``clean_text`` = surviving lines rejoined;
+    - drop flags: fewer than ``min_sentences`` sentences in the cleaned
+      text, a "lorem ipsum" occurrence, or a ``{`` (code marker);
+    - ``c4_keep`` = all three pass.
+
+    Pure Catalyst (array filter + regex — no Python); every rule is
+    replayed verbatim in the SQL oracle.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    good_line = lambda l: (  # noqa: E731
+        F.trim(l).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+    )
+    kept = F.filter(lines, good_line)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sentences = F.size(
+        F.filter(F.split(clean, r"[.!?]"), lambda s: F.trim(s) != "")
+    )
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    keep = (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+    return (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("has_lorem_ipsum", has_lorem)
+        .withColumn("has_curly_brace", has_brace)
+        .withColumn("c4_keep", keep)
+    )

@@ -441,6 +441,34 @@ def test_stable_sample_deterministic_and_nesting(spark):
         stable_sample(df, "doc_id", 1.5)
 
 
+def test_c4_filters(spark):
+    from kgtk_spark.textops.quality import c4_filters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a fine sentence.\nno punct line\nAnother good one!\n"
+                "Also this works fine?\nShort.\nAnd one more here."),
+            (2, "lorem ipsum dolor sit amet.\nGood sentence here.\n"
+                "More text follows now.\nEven more text here.\nLast line here."),
+            (3, "function foo() { return 1; }\nReal sentence one.\n"
+                "Real sentence two here.\nReal sentence three here.\n"
+                "Real sentence four now.\nReal sentence five done."),
+            (4, "Only two sentences here. That is all."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           c4_filters(docs, min_words_per_line=3, min_sentences=4).collect()}
+    # line filter: "no punct line" (no terminal punct) and "Short."
+    # (< 3 words) both drop
+    assert "no punct line" not in out[1]["clean_text"]
+    assert "Short." not in out[1]["clean_text"]
+    assert out[1]["n_kept_lines"] == 4 and out[1]["c4_keep"] is True
+    assert out[2]["has_lorem_ipsum"] is True and out[2]["c4_keep"] is False
+    assert out[3]["has_curly_brace"] is True and out[3]["c4_keep"] is False
+    assert out[4]["n_sentences"] == 2 and out[4]["c4_keep"] is False
+
+
 def test_gopher_quality_flags(spark):
     from kgtk_spark.textops.quality import gopher_quality_flags
 
