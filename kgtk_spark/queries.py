@@ -1900,6 +1900,32 @@ def q_c4_filters(spark, sf_dir):
     )
 
 
+@query(
+    "emb_cosine_pairs",
+    # exhaustive-mode (bits=0) twin: all a<b pairs, double cosine,
+    # 6-decimal round, threshold filter
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "  FROM embeddings WHERE vec_id < 60) "
+    "SELECT a.vec_id AS u, b.vec_id AS v, "
+    "ROUND(list_dot_product(a.v, b.v) / "
+    "  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), "
+    "  6) AS score "
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    "WHERE ROUND(list_dot_product(a.v, b.v) / "
+    "  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), "
+    "  6) >= 0.3",
+)
+def q_emb_cosine_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs through cosine_pairs' verify
+    arithmetic in exhaustive mode (bits=0 → one bucket → exact): the
+    LSH candidate pruning is plan-level and pinned by recall tests; the
+    oracle checks the scoring path end-to-end."""
+    from kgtk_spark.textops.similarity import cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    return cosine_pairs(emb, threshold=0.3, bits=0, bucket_cap=None)
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -2132,6 +2158,7 @@ _DRIVER_HEAD = [
     "doc_span_dedup",           # new in round 4 — never driver-verified
     "doc_gopher_quality",       # new in round 4 — never driver-verified
     "doc_c4_filters",           # new in round 4 — never driver-verified
+    "emb_cosine_pairs",         # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

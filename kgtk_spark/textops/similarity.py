@@ -60,7 +60,14 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane sign bits packed into a long (JVM-side)."""
+    """Random-hyperplane sign bits packed into a long (JVM-side).
+
+    Zero planes → constant signature 0: every vector lands in ONE
+    bucket, degrading the LSH consumers to exhaustive exact mode (used
+    by small slices and the SQL-oracle path, where the random planes
+    are not reproducible cross-engine)."""
+    if len(planes) == 0:
+        return F.lit(0).cast("long")
     bits = []
     for i, p in enumerate(planes):
         q = F.array(*[F.lit(float(v)) for v in p])
