@@ -278,3 +278,73 @@ def hypertable_rollup(
         )
         out = out.unionByName(level.withColumn("granularity", F.lit(g)))
     return out
+
+
+def funnel_depth(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: (user, funnel_depth) — the number of
+    funnel ``steps`` the user completed IN ORDER with strictly
+    increasing timestamps (step i+1 must happen after the user's
+    EARLIEST qualifying step i; classic conversion semantics).
+
+    Plan shape: one conditional min-aggregation per step, every join
+    keyed on the user — the same hash partitioning flows through all
+    stages (AQE reuses it), so a k-step funnel is k small aggs on an
+    already-partitioned key, not a window sort over the event log.
+    """
+    users = events.select(user_col).distinct()
+    acc = users
+    for i, step in enumerate(steps):
+        e = events.filter(F.col(type_col) == step).select(user_col, ts_col)
+        if i == 0:
+            t = e.groupBy(user_col).agg(F.min(ts_col).alias(f"__t{i}__"))
+        else:
+            t = (
+                e.join(
+                    acc.select(user_col, f"__t{i - 1}__").where(
+                        F.col(f"__t{i - 1}__").isNotNull()
+                    ),
+                    user_col,
+                )
+                .where(F.col(ts_col) > F.col(f"__t{i - 1}__"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"__t{i}__"))
+            )
+        acc = acc.join(t, user_col, "left")
+    depth = None
+    for i in range(len(steps)):
+        d = F.when(F.col(f"__t{i}__").isNotNull(), 1).otherwise(0)
+        depth = d if depth is None else depth + d
+    return acc.select(user_col, depth.cast("long").alias("funnel_depth"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: (cohort_date, day_offset, n_users) —
+    how many users first seen on ``cohort_date`` were active again
+    ``day_offset`` days later. Two hash aggregations (first-seen day,
+    then the cohort×offset distinct-user count); no window, no
+    per-user state.
+    """
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_date")
+    )
+    active = events.select(user_col, F.to_date(ts_col).alias("__day__")).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            "cohort_date",
+            F.datediff("__day__", "cohort_date").cast("long").alias("day_offset"),
+            user_col,
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

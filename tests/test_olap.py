@@ -91,6 +91,54 @@ def test_asof_join_forward_and_nearest(spark):
         asof_join(clicks, purchases, on="user_id", direction="sideways")
 
 
+def test_funnel_depth_ordering(spark):
+    from kgtk_spark.textops.olap import funnel_depth
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, "view", ts(0)), (1, "click", ts(5)), (1, "purchase", ts(10)),
+            # user 2: purchase BEFORE view/click → depth stops at 2
+            (2, "purchase", ts(0)), (2, "view", ts(5)), (2, "click", ts(10)),
+            # user 3: view only
+            (3, "view", ts(1)),
+            # user 4: click without a prior view → depth 0
+            (4, "click", ts(1)),
+            # user 5: click at the SAME instant as view → strict order fails
+            (5, "view", ts(2)), (5, "click", ts(2)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["user_id"]: r["funnel_depth"] for r in
+           funnel_depth(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_cohort_retention(spark):
+    import datetime as dtm
+
+    from kgtk_spark.textops.olap import cohort_retention
+
+    def at(day, hour=1):
+        return dtm.datetime(2024, 1, day, hour)
+
+    ev = spark.createDataFrame(
+        [
+            (1, at(1)), (1, at(1, 5)), (1, at(3)),   # cohort 1/1, back day 2
+            (2, at(1)), (2, at(2)),                   # cohort 1/1, back day 1
+            (3, at(2)),                               # cohort 1/2 only
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(str(r["cohort_date"]), r["day_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-01", 2)] == 1
+    assert out[("2024-01-02", 0)] == 1
+    assert len(out) == 4
+
+
 def test_asof_join_nearest_subsecond(spark):
     """Nearest must compare at microsecond resolution, not whole seconds.
 
