@@ -1974,6 +1974,33 @@ def q_events_retention(spark, sf_dir):
     return cohort_retention(ev)
 
 
+@query(
+    "doc_line_repetition",
+    "WITH l AS (SELECT doc_id, trim(ln) AS ln FROM "
+    "  (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln "
+    "   FROM documents) WHERE trim(ln) <> ''), "
+    "per AS (SELECT doc_id, ln, COUNT(*) AS c, length(ln) AS len "
+    "  FROM l GROUP BY doc_id, ln), "
+    "agg AS (SELECT doc_id, SUM(c) AS n_lines, "
+    "  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines, "
+    "  SUM(c * len) AS n_line_chars, "
+    "  SUM(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_line_chars "
+    "  FROM per GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+    "ROUND(CAST(dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac, "
+    "ROUND(CAST(dup_line_chars AS DOUBLE) / n_line_chars, 6) "
+    "  AS dup_line_char_frac FROM agg",
+)
+def q_line_repetition(spark, sf_dir):
+    """Gopher's line-level repetition filters (dup-line fraction and
+    dup-line character mass) — completes the repetition family beside
+    the word/bigram signals."""
+    from kgtk_spark.textops.quality import line_repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return line_repetition_signals(docs)
+
+
 @query("events_kmv_users", _kmv_oracle())
 def q_kmv_users(spark, sf_dir):
     """KMV distinct-count sketch: approximate distinct users per event
@@ -2209,6 +2236,7 @@ _DRIVER_HEAD = [
     "emb_cosine_pairs",         # new in round 4 — never driver-verified
     "events_funnel",            # new in round 4 — never driver-verified
     "events_retention",         # new in round 4 — never driver-verified
+    "doc_line_repetition",      # new in round 4 — never driver-verified
     "kgtk_calc_percentage",
     "kgtk_explode_number",
     "graph_degree_summary",

@@ -385,3 +385,40 @@ def c4_filters(
         .withColumn("has_curly_brace", has_brace)
         .withColumn("c4_keep", keep)
     )
+
+
+def line_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The line-level half of Gopher's repetition filters (Rae et al.
+    2021 Table A1, complementing ``repetition_signals``'s word/bigram
+    half): per doc, the fraction of LINES that are duplicates of
+    another line in the same doc, and the fraction of CHARACTERS
+    sitting in those duplicated lines. Two hash aggregations keyed on
+    (doc, line) then (doc) — no window, no self-join.
+    """
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\n")).alias("__l__")
+    ).withColumn("__l__", F.trim(F.col("__l__")))
+    lines = lines.filter(F.col("__l__") != "")
+    per = lines.groupBy(id_col, "__l__").agg(
+        F.count(F.lit(1)).alias("c"), F.length("__l__").alias("len")
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.col("c") * F.col("len")).alias("n_line_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias("dup_line_frac"),
+        F.round(
+            F.col("dup_line_chars") / F.col("n_line_chars"), 6
+        ).alias("dup_line_char_frac"),
+    )

@@ -441,6 +441,26 @@ def test_stable_sample_deterministic_and_nesting(spark):
         stable_sample(df, "doc_id", 1.5)
 
 
+def test_line_repetition_signals(spark):
+    from kgtk_spark.textops.quality import line_repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nrepeat me\nrepeat me\nunique two"),
+            (2, "a\nb\nc"),
+            (3, "same\nsame\nsame"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_repetition_signals(docs).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.5       # 2 of 4 lines duplicated
+    # chars: 10+9+9+10=38, dup 18 → 18/38
+    assert abs(out[1]["dup_line_char_frac"] - round(18 / 38, 6)) < 1e-9
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 1.0
+
+
 def test_c4_filters(spark):
     from kgtk_spark.textops.quality import c4_filters
 
