@@ -579,7 +579,11 @@ def canonicalize_url(
     head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
     u = F.concat(head, rest)
-    u = F.regexp_replace(u, r"://([^/?:]+):(80|443)(/|\?|$)", "://$1$3")
+    # scheme-aware default-port strip: :80 is only a default for http,
+    # :443 only for https — stripping either from the other scheme would
+    # conflate distinct URLs (scheme is already lowercased above)
+    u = F.regexp_replace(u, r"^(http://[^/?:]+):80(/|\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?:]+):443(/|\?|$)", "$1$2")
     u = F.regexp_replace(u, r"([?&])" + TRACKING_PARAMS + r"=[^&]*", "$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")

@@ -16,6 +16,8 @@ with the codec libs installed.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -656,7 +658,12 @@ def thumbnail_image(
                 try:
                     arr = decode_image_bytes(b)
                     real = True
-                except (ValueError, IndexError, KeyError):
+                # corrupt-but-valid-magic payloads surface as struct.error
+                # (truncated JPEG segment header) or zlib.error (bad PNG
+                # IDAT) — on real crawl data those are routine, and they
+                # must take the fallback, not fail the whole task
+                except (ValueError, IndexError, KeyError,
+                        struct.error, zlib.error, EOFError):
                     side = max(int(np.sqrt(max(len(b), 1))), 1)
                     arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
                     arr = np.resize(arr, side * side).reshape(side, side)

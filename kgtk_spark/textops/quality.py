@@ -347,18 +347,19 @@ def gopher_quality_flags(
 def c4_filters(
     df: DataFrame,
     text_col: str = "text",
-    min_words_per_line: int = 3,
-    min_sentences: int = 5,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
 ) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2) as line-level
     cleanup + document flags — the other canonical web-corpus filter
     set beside Gopher:
 
     - keep only lines that end in terminal punctuation (. ! ? ")
-      AND carry at least ``min_words_per_line`` words;
+      AND carry at least ``min_words_per_line`` words (paper default 5);
     - ``clean_text`` = surviving lines rejoined;
     - drop flags: fewer than ``min_sentences`` sentences in the cleaned
-      text, a "lorem ipsum" occurrence, or a ``{`` (code marker);
+      text (paper default 3), a "lorem ipsum" occurrence, or a ``{``
+      (code marker);
     - ``c4_keep`` = all three pass.
 
     Pure Catalyst (array filter + regex — no Python); every rule is

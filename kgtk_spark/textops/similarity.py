@@ -265,9 +265,18 @@ def knn_join(
 
     The broadcast is guarded: a query batch over
     ``broadcast_chunk_rows`` rows is split into hash chunks, each
-    broadcast and scored separately, then unioned — one chunk's
-    broadcast is in flight at a time per stage, so a caller passing
-    10M queries gets bounded executor memory instead of an OOM.
+    broadcast and scored separately, then unioned — each broadcast
+    BUILD is bounded to ``broadcast_chunk_rows`` rows (union branches
+    schedule independently, so several chunk broadcasts can coexist for
+    the query's duration; the bound is per-build, not a strict
+    one-in-flight guarantee). On the chunked path both inputs are
+    ``localCheckpoint``-ed: the chunked query frame materializes ONCE
+    (eager) instead of once per branch, and the projected corpus is
+    computed/cached on first touch so the union's N branches read the
+    cached blocks rather than re-scanning the source N times. Blocks
+    are reference-tracked — Spark's ContextCleaner frees them when the
+    result DataFrame is garbage collected, so no session-lifetime
+    persist leak and no caller-side unpersist obligation.
     """
     from typing import Iterator
 
@@ -288,9 +297,18 @@ def knn_join(
         from functools import reduce
 
         n_chunks = math.ceil(n_q / broadcast_chunk_rows)
+        # eager localCheckpoint: chunk assignment materializes ONCE (not
+        # once per broadcast build), and the blocks are reference-tracked
+        # so they free when the result is GC'd — unlike a bare persist()
+        # with no matching unpersist
         qc = q.withColumn(
             "__chunk__", F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_chunks))
-        ).persist()
+        ).localCheckpoint(eager=True)
+        # lazy localCheckpoint on the projected corpus: the first branch
+        # computes + caches it (MEMORY_AND_DISK), the other n_chunks-1
+        # union branches read cached blocks — ONE corpus scan total
+        # instead of one per chunk
+        c = c.localCheckpoint(eager=False)
         parts = [
             c.crossJoin(
                 F.broadcast(qc.filter(F.col("__chunk__") == i).drop("__chunk__"))

@@ -102,8 +102,15 @@ def stable_sample(
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    h = F.expr(
-        f"cast(conv(substring(md5(concat('{salt}', cast(`{key_col}` as string))), "
-        f"1, {_HEX_WIDTH}), 16, 10) as bigint)"
-    )
+    # column functions, not an interpolated SQL string: a salt holding a
+    # quote (or a key_col holding a backtick) must stay DATA, not syntax
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1,
+            _HEX_WIDTH,
+        ),
+        16,
+        10,
+    ).cast("long")
     return df.filter(h < F.lit(int(rate * _SPACE)).cast("long"))

@@ -485,3 +485,33 @@ def test_thumbnail_image_real_and_fallback(spark):
     assert (np.diff(pix[0]) > 0).all()
     # undecodable payload takes the disclosed fallback
     assert out[2]["decoded"] is False
+
+
+def test_thumbnail_image_corrupt_valid_magic_payloads(spark):
+    """corrupt payloads WITH valid magic bytes raise struct.error
+    (truncated JPEG segment header) or zlib.error (corrupt PNG IDAT)
+    inside the decoder; the batch loop must route them to the byte-fake
+    fallback instead of failing the whole mapInPandas task — routine on
+    real crawl data."""
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import thumbnail_image
+
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    good_png = _make_png(grad, ctype=0)
+    # truncated JPEG: SOI + marker byte + half a segment-length word
+    trunc_jpeg = b"\xff\xd8\xff\xe0\x00"
+    # PNG with a corrupted IDAT payload (valid signature + IHDR kept)
+    bad_png = bytearray(good_png)
+    idat = bytes(good_png).find(b"IDAT")
+    assert idat > 0
+    for off in range(4, 12):
+        bad_png[idat + off] ^= 0xFF
+    rows = [(1, bytearray(good_png)), (2, bytearray(trunc_jpeg)),
+            (3, bad_png)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in thumbnail_image(df, out_h=4, out_w=4).collect()}
+    assert out[1]["decoded"] is True
+    assert out[2]["decoded"] is False
+    assert out[3]["decoded"] is False
+    assert len(out[2]["pixels"]) == 16 and len(out[3]["pixels"]) == 16

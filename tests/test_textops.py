@@ -389,6 +389,32 @@ def test_knn_join_chunked_broadcast_parity(spark):
     assert chunked == plain and len(plain) == 7 * 4
 
 
+def test_knn_join_chunked_corpus_cached_once(spark):
+    """the chunked path localCheckpoints both inputs: the union's
+    branches read checkpointed-RDD scans (ONE corpus materialization,
+    not one source scan per chunk), and the cached blocks are visible
+    in storage after the action — reference-tracked, no persist leak."""
+    import numpy as np
+
+    from kgtk_spark.textops.similarity import knn_join
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(20, 5).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(6).withColumnsRenamed({"vec_id": "query_id"})
+    out = knn_join(queries, corpus, k=2, broadcast_chunk_rows=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every union branch reads the checkpointed RDDs — the original
+    # source scan appears ZERO times per chunk
+    assert "ExistingRDD" in plan and "LocalTableScan" not in plan
+    assert len(out.collect()) == 6 * 2
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.numCachedPartitions() > 0 for i in infos)
+
+
 def test_canonicalize_url_and_url_dedup(spark):
     from kgtk_spark.textops.dedup import canonicalize_url, url_dedup
 
@@ -400,6 +426,11 @@ def test_canonicalize_url_and_url_dedup(spark):
         (5, "https://example.com/only-tracking"),     # dup of 4 post-cleanup
         (6, "https://example.com/trail/"),
         (7, "https://example.com/trail"),
+        # NON-default ports must survive: :443 is not a default for
+        # http, :80 not for https — stripping them would conflate
+        # distinct origins
+        (8, "http://example.com:443/x"),
+        (9, "https://example.com:80/x"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     canon = {r["doc_id"]: r["canonical_url"]
@@ -409,13 +440,15 @@ def test_canonicalize_url_and_url_dedup(spark):
     assert canon[3] == "https://example.com/a/b?q=1"
     assert canon[4] == canon[5] == "https://example.com/only-tracking"
     assert canon[6] == canon[7] == "https://example.com/trail"
+    assert canon[8] == "http://example.com:443/x"
+    assert canon[9] == "https://example.com:80/x"
 
     out = {r["canonical_url"]: (r["doc_id"], r["n_dupes"])
            for r in url_dedup(df).collect()}
     assert out["http://example.com/a/b?q=1"] == (1, 2)
     assert out["https://example.com/only-tracking"] == (4, 2)
     assert out["https://example.com/trail"] == (6, 2)
-    assert len(out) == 4
+    assert len(out) == 6
 
 
 def test_stable_sample_deterministic_and_nesting(spark):
@@ -432,6 +465,12 @@ def test_stable_sample_deterministic_and_nesting(spark):
     assert s10 <= s30
     # rates are approximately honored (±4 pp at n=2000)
     assert 0.06 < len(s10) / 2000 < 0.14
+    # a salt containing a single quote is DATA, not SQL syntax — the
+    # hash is built from column functions, so this must neither raise
+    # nor change semantics (different salt → independent sample)
+    sq = {r["doc_id"] for r in stable_sample(df, "doc_id", 0.10, salt="o'brien").collect()}
+    assert sq == {r["doc_id"] for r in stable_sample(df, "doc_id", 0.10, salt="o'brien").collect()}
+    assert sq != s10
     assert 0.26 < len(s30) / 2000 < 0.34
     # salts decorrelate: overlap of two independent 30% samples ≈ 9%
     other = {r["doc_id"]
