@@ -1795,6 +1795,47 @@ def q_span_dedup(spark, sf_dir):
 
 
 @query(
+    "doc_span_dedup_keepone",
+    # keep_first replay: per hot gram the minimal (doc_id, pos)
+    # occurrence is exempt from coverage (min_by on a composite scalar
+    # — positions are far below 1e6, so doc_id*1e6+p is the exact
+    # lexicographic (doc_id, pos) order the engine's min(struct) uses).
+    "WITH toks AS (SELECT doc_id, "
+    "  string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+    "tok AS (SELECT doc_id, i AS pos, t[i] AS token "
+    "  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS s(i)), "
+    "grams AS (SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS g "
+    "  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i) "
+    "  WHERE len(t) >= 8), "
+    "hotk AS (SELECT g, "
+    "    min_by(doc_id, doc_id * 1000000 + p) AS kd, "
+    "    min_by(p, doc_id * 1000000 + p) AS kp "
+    "  FROM grams GROUP BY g HAVING COUNT(*) >= 2), "
+    "covered AS (SELECT DISTINCT gr.doc_id, gr.p + j AS pos "
+    "  FROM grams gr JOIN hotk h ON gr.g = h.g "
+    "    AND NOT (gr.doc_id = h.kd AND gr.p = h.kp), "
+    "  LATERAL unnest(generate_series(0, 7)) AS s(j)), "
+    "kept AS (SELECT tok.doc_id, tok.pos, tok.token FROM tok "
+    "  LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.pos = c.pos "
+    "  WHERE c.pos IS NULL), "
+    "reb AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text "
+    "  FROM kept GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(r.text, '') AS text "
+    "FROM documents d LEFT JOIN reb r USING (doc_id)",
+)
+def q_span_dedup_keepone(spark, sf_dir):
+    """ExactSubstr with Lee et al.'s keep-one policy: the minimal
+    (doc_id, position) occurrence of each corpus-repeated 8-gram
+    survives; later copies are cut."""
+    from kgtk_spark.textops.dedup import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, n=8, min_occurrences=2, policy="keep_first"
+    )
+
+
+@query(
     "doc_gopher_quality",
     "WITH b AS (SELECT doc_id, text, trim(text) AS tr FROM documents), "
     "m AS (SELECT doc_id, text, tr, "
@@ -2251,6 +2292,7 @@ _DRIVER_HEAD = [
     "graph_scc",
     "kgtk_validate_properties",
     # new in round 5 — never driver-verified (keep inside the 50-window)
+    "doc_span_dedup_keepone",
 ]
 _DRIVER_TAIL = [
     # driver-verified green in CORRECTNESS_r04.json — safest to rotate out

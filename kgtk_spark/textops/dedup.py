@@ -186,13 +186,15 @@ def _lsh_candidates(
     bands: int,
     rows_per_band: int,
     bucket_cap: int,
-    log_skipped: bool,
-) -> DataFrame:
+) -> tuple:
     """Banded LSH candidate pairs with a bucket-size cap.
 
     A bucket larger than ``bucket_cap`` (template pages, empty docs)
-    would self-join quadratically; such buckets are dropped. At real
-    scale re-run the over-cap residue with more bands or report it.
+    would self-join quadratically; such buckets are excluded from the
+    self-join. Returns ``(pairs, residue)`` where ``residue`` is the
+    DISTINCT set of doc ids that appeared in at least one over-cap
+    bucket — the caller (``minhash_near_dup``) runs the recovery pass
+    over it so those docs don't silently lose their candidates.
     """
     banded = sigs.select(
         id_col,
@@ -220,22 +222,12 @@ def _lsh_candidates(
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
-    capped = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w))
-    if log_skipped:
-        skipped = (
-            capped.filter(F.col("__bsz__") > bucket_cap)
-            .select("band", "bucket")
-            .distinct()
-            .count()
-        )
-        if skipped:
-            logger.warning(
-                "minhash LSH: skipping %d over-cap buckets (> %d docs)",
-                skipped,
-                bucket_cap,
-            )
-    capped = capped.filter(F.col("__bsz__") <= bucket_cap).drop("__bsz__")
-    return (
+    sized = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w))
+    residue = (
+        sized.filter(F.col("__bsz__") > bucket_cap).select(id_col).distinct()
+    )
+    capped = sized.filter(F.col("__bsz__") <= bucket_cap).drop("__bsz__")
+    pairs = (
         capped.alias("a")
         .join(
             capped.alias("b"),
@@ -246,6 +238,7 @@ def _lsh_candidates(
         .select(F.col(f"a.{id_col}").alias("u"), F.col(f"b.{id_col}").alias("v"))
         .distinct()
     )
+    return pairs, residue
 
 
 def minhash_near_dup(
@@ -258,8 +251,9 @@ def minhash_near_dup(
     jaccard_threshold: float = 0.8,
     verify: str = "exact",
     bucket_cap: int = 2000,
-    log_skipped: bool = False,
+    log_skipped: bool = True,
     driver_cc_threshold: int = 100_000,
+    recover_residue: bool = True,
 ) -> DataFrame:
     """Near-duplicate clusters via MinHash banding + Jaccard verify.
 
@@ -272,6 +266,28 @@ def minhash_near_dup(
     reproducible by a DuckDB oracle. ``verify="estimate"`` uses the
     signature-agreement estimate (cheaper: no shingle sets shipped to
     the candidate join, at the cost of estimate noise near threshold).
+
+    Over-cap recovery (``recover_residue``, default on): docs that land
+    in buckets larger than ``bucket_cap`` (template pages — on a real
+    crawl this is every boilerplate family) are NOT silently dropped.
+    They take a two-stage recovery pass:
+
+    1. *collapse identicals* — group the residue by FULL signature and
+       star-pair every member to the group's min doc. LINEAR in residue
+       size (one partial-aggregated groupBy + an AQE-skew-splittable
+       join — no window, so a 100M-doc template family cannot pin one
+       partition), and it dissolves the quadratic mass: an m-copy
+       template becomes m-1 pairs, not m²/2.
+    2. *re-band representatives* — one doc per full-signature group
+       re-enters banding at 2× bands (half the rows per band, when
+       divisible) with the same cap. With identicals collapsed the
+       bucket histogram collapses too, so near-identical variants that
+       shared an over-cap bucket get their candidate pairs back.
+
+    All recovered pairs flow through the SAME verification as first-
+    pass candidates, so precision is unchanged — recovery only adds
+    recall. Anything still over cap after stage 2 is finally dropped
+    and counted (``log_skipped``, default on).
     """
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
@@ -279,7 +295,45 @@ def minhash_near_dup(
 
     base = _shingles_and_sigs(df, text_col, id_col, num_hashes, shingle_k).persist()
     sigs = base.select(id_col, "sig")
-    pairs = _lsh_candidates(sigs, id_col, bands, rows_per_band, bucket_cap, log_skipped)
+    pairs, residue = _lsh_candidates(sigs, id_col, bands, rows_per_band, bucket_cap)
+
+    if recover_residue or log_skipped:
+        # ids only — tiny rows; materialized once, reference-tracked
+        residue = residue.localCheckpoint(eager=True)
+    if recover_residue and not residue.isEmpty():
+        res_sigs = sigs.join(residue, id_col, "left_semi")
+        keyed = res_sigs.withColumn(
+            "__fsig__",
+            F.xxhash64(F.concat_ws(",", F.col("sig").cast("array<string>"))),
+        )
+        gmin = keyed.groupBy("__fsig__").agg(F.min(id_col).alias("__rep__"))
+        joined = keyed.join(gmin, "__fsig__")
+        star = (
+            joined.filter(F.col(id_col) != F.col("__rep__"))
+            .select(F.col("__rep__").alias("u"), F.col(id_col).alias("v"))
+        )
+        reps = joined.filter(F.col(id_col) == F.col("__rep__")).select(id_col, "sig")
+        if rows_per_band % 2 == 0:
+            bands2, rpb2 = bands * 2, rows_per_band // 2
+        else:
+            bands2, rpb2 = bands, rows_per_band
+        pairs2, residue2 = _lsh_candidates(reps, id_col, bands2, rpb2, bucket_cap)
+        pairs = pairs.unionByName(star).unionByName(pairs2).distinct()
+        if log_skipped:
+            dropped = residue2.count()
+            if dropped:
+                logger.warning(
+                    "minhash LSH: %d representative docs still over-cap "
+                    "after the 2x-bands recovery pass — finally dropped",
+                    dropped,
+                )
+    elif log_skipped and not residue.isEmpty():
+        logger.warning(
+            "minhash LSH: %d docs sat in over-cap buckets (> %d) and "
+            "recovery is OFF — their candidate pairs are dropped",
+            residue.count(),
+            bucket_cap,
+        )
 
     if verify == "exact":
         grams = base.select(id_col, "gs")
@@ -715,22 +769,35 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     n: int = 50,
     min_occurrences: int = 2,
+    policy: str = "drop_all",
 ) -> DataFrame:
     """(id, text) with every corpus-repeated n-token span removed and
     the surviving tokens rejoined IN ORDER (docs shrinking to nothing
     keep a row with empty text).
 
-    Policy: a token is dropped iff ANY n-gram covering it occurs
-    ``min_occurrences``+ times corpus-wide (both copies go — a
-    conservative, symmetric variant of Lee et al.'s keep-one).
+    Policies:
+
+    - ``"drop_all"`` (default): a token drops iff ANY n-gram covering
+      it occurs ``min_occurrences``+ times corpus-wide — both copies go
+      (a conservative, symmetric variant of Lee et al.'s keep-one).
+    - ``"keep_first"``: Lee et al. 2022 semantics — for each hot gram
+      the minimal ``(doc_id, position)`` occurrence SURVIVES (one
+      ``min(struct)`` per gram, map-side combinable); only the other
+      occurrences are covered. Note fixed-n grams overlap: a token kept
+      by one gram can still drop if a DIFFERENT hot gram's non-first
+      occurrence covers it.
 
     Scale shape: positional gram hashes (JVM token hashes + Arrow
     rolling combine — 8 bytes/gram, never gram strings), ONE count
-    aggregation for hot grams, a semi-join back for hot positions, a
-    bounded explode (n rows per hot position, deduped) for coverage,
-    and one regroup to reassemble. No suffix array, no global sort;
-    every join key is hashed and shuffle-partitioned.
+    aggregation for hot grams, a join back for hot positions, then a
+    per-doc INTERVAL MERGE (sorted starts fold into disjoint [s, e]
+    ranges — replaces the former n-rows-per-position coverage explode,
+    which was a 50x intermediate on duplication-heavy corpora), and one
+    regroup to reassemble; the interval join and the regroup share the
+    hash partitioning on ``id_col``. No suffix array, no global sort.
     """
+    if policy not in ("drop_all", "keep_first"):
+        raise ValueError(f"unknown policy: {policy!r}")
     toks_col = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col), toks_col.alias("__toks__"))
 
@@ -753,27 +820,80 @@ def remove_duplicate_spans(
             pos_gh(F.transform("__toks__", lambda t: F.xxhash64(t)))
         ).alias("__p__", "__g__"),
     ).localCheckpoint()  # consumed by the hot count AND the position join
-    hot = (
-        grams.groupBy("__g__")
-        .agg(F.count(F.lit(1)).alias("__n__"))
-        .filter(F.col("__n__") >= min_occurrences)
-        .select("__g__")
-    )
-    covered = (
-        grams.join(hot, "__g__", "left_semi")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("__p__"), F.col("__p__") + (n - 1))
-            ).alias("__pos__"),
+    if policy == "drop_all":
+        hot = (
+            grams.groupBy("__g__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") >= min_occurrences)
+            .select("__g__")
         )
-        .distinct()
+        hot_pos = grams.join(hot, "__g__", "left_semi").select(id_col, "__p__")
+    else:  # keep_first
+        keep = (
+            grams.groupBy("__g__")
+            .agg(
+                F.count(F.lit(1)).alias("__n__"),
+                F.min(F.struct(F.col(id_col), F.col("__p__"))).alias("__keep__"),
+            )
+            .filter(F.col("__n__") >= min_occurrences)
+            .select("__g__", "__keep__")
+        )
+        hot_pos = (
+            grams.join(keep, "__g__")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col("__keep__")[id_col])
+                    & (F.col("__p__") == F.col("__keep__")["__p__"])
+                )
+            )
+            .select(id_col, "__p__")
+        )
+
+    # per-doc interval merge: sorted distinct hot starts fold into
+    # disjoint inclusive [s, e] coverage ranges — a fully-duplicated
+    # doc collapses to ONE interval instead of 50 rows per position
+    span = int(n - 1)
+    empty_ivals = F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+
+    def _fold(acc, p):
+        last = F.element_at(acc, -1)
+        overlaps = F.when(
+            F.size(acc) > 0, p <= last["e"] + F.lit(1).cast("bigint")
+        ).otherwise(F.lit(False))
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    last["s"].alias("s"),
+                    F.greatest(last["e"], p + span).alias("e"),
+                )
+            ),
+        )
+        appended = F.concat(
+            acc, F.array(F.struct(p.alias("s"), (p + span).alias("e")))
+        )
+        return F.when(overlaps, extended).otherwise(appended)
+
+    merged = hot_pos.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_set(F.col("__p__").cast("long"))),
+            empty_ivals,
+            _fold,
+        ).alias("__ivals__")
     )
     tokens = base.select(
         F.col(id_col), F.posexplode("__toks__").alias("__pos__", "__tok__")
     )
+    # 1:1 join on id, then an exists() probe over the doc's few merged
+    # intervals; this join and the regroup below reuse one exchange
+    keep_tok = F.col("__ivals__").isNull() | ~F.exists(
+        "__ivals__",
+        lambda i: (F.col("__pos__").cast("long") >= i["s"])
+        & (F.col("__pos__").cast("long") <= i["e"]),
+    )
     rebuilt = (
-        tokens.join(covered, [id_col, "__pos__"], "left_anti")
+        tokens.join(merged, id_col, "left")
+        .filter(keep_tok)
         .groupBy(id_col)
         .agg(
             F.array_join(

@@ -169,8 +169,8 @@ def test_lsh_candidates_share_one_exchange(spark):
         ["doc_id", "text"],
     )
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16)
-    pairs = _lsh_candidates(
-        sigs, "doc_id", bands=4, rows_per_band=4, bucket_cap=50, log_skipped=False
+    pairs, _residue = _lsh_candidates(
+        sigs, "doc_id", bands=4, rows_per_band=4, bucket_cap=50
     )
     # exchange reuse is an AQE runtime decision — execute, then inspect
     # the FINAL adaptive plan

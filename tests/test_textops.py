@@ -102,14 +102,16 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
 
 
 def test_minhash_bucket_cap_skips_degenerate_bucket(spark):
-    # 30 identical docs land in ONE LSH bucket per band. Over-cap
-    # buckets must be skipped (no quadratic self-join), leaving every
-    # doc a singleton; with the cap above the bucket size they cluster.
+    # 30 identical docs land in ONE LSH bucket per band. With recovery
+    # OFF, over-cap buckets must be skipped (no quadratic self-join),
+    # leaving every doc a singleton; with the cap above the bucket size
+    # they cluster.
     rows = [(i, "exact same template page body text") for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     capped = {
         r["doc_id"]: r["cluster_id"]
-        for r in minhash_near_dup(df, bucket_cap=5).collect()
+        for r in minhash_near_dup(df, bucket_cap=5, recover_residue=False,
+                                  log_skipped=False).collect()
     }
     assert all(capped[i] == i for i in range(30))
     uncapped = {
@@ -117,6 +119,46 @@ def test_minhash_bucket_cap_skips_degenerate_bucket(spark):
         for r in minhash_near_dup(df, bucket_cap=100).collect()
     }
     assert all(uncapped[i] == 0 for i in range(30))
+
+
+def test_minhash_overcap_residue_recovery(spark):
+    """Template corpus where every interesting bucket is over-cap: the
+    recovery pass (default ON) must restore the pairs the cap dropped.
+
+    - 15 exact copies of template X and 15 of template Y → stage 1
+      (full-signature collapse) star-pairs each family linearly;
+    - 6 near-identical X *variants* (one token changed) share X's
+      over-cap buckets, so the first pass drops them too → stage 2
+      (2x-bands re-band of the one-doc-per-signature representatives)
+      recovers (X, variant) candidates, and exact-Jaccard verification
+      keeps them, merging variants into X's cluster;
+    - X and Y stay separate (verification rejects any stray pair)."""
+    tx = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    ty = "one two three four five six seven eight nine ten " * 3
+    rows = (
+        [(i, tx) for i in range(15)]
+        + [(100 + i, ty) for i in range(15)]
+        + [(200 + i, tx + f" variant{i}") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    off = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_near_dup(df, bucket_cap=10, jaccard_threshold=0.5,
+                                  recover_residue=False,
+                                  log_skipped=False).collect()
+    }
+    on = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_near_dup(df, bucket_cap=10,
+                                  jaccard_threshold=0.5).collect()
+    }
+    # without recovery the cap dropped everything — all singletons
+    assert all(off[k] == k for k in off)
+    # recovery: X copies + variants one cluster, Y copies another
+    assert all(on[i] == 0 for i in range(15))
+    assert all(on[100 + i] == 100 for i in range(15))
+    assert all(on[200 + i] == 0 for i in range(6))
 
 
 def test_minhash_cluster_id_is_numeric_min(spark):
@@ -603,6 +645,34 @@ def test_remove_duplicate_spans(spark):
            for r in remove_duplicate_spans(dup, n=4).collect()}
     assert out[1] == "" and out[2] == ""
     assert out[3] == "five six seven eight"
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """policy='keep_first' (Lee et al. semantics): the minimal
+    (doc_id, position) occurrence of each hot gram SURVIVES; only the
+    later copies are cut — across docs and within one doc."""
+    from kgtk_spark.textops.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d e f z"),     # later copy of doc 1's span
+            (3, "p q r s t p q r s t"),   # within-doc repeat
+            (4, "no duplicated content in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_spans(docs, n=4,
+                                           policy="keep_first").collect()}
+    assert out[1] == "a b c d e f"        # first occurrence kept intact
+    assert out[2] == "x y z"              # later copy removed
+    assert out[3] == "p q r s t"          # second in-doc copy removed
+    assert out[4] == "no duplicated content in this row"
+    # default policy drops BOTH copies — sanity contrast
+    both = {r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(docs, n=4).collect()}
+    assert both[1] == "" and both[2] == "x y z"
 
 
 def test_decontaminate(spark):
