@@ -1743,6 +1743,60 @@ def q_png_thumbnails(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_features",
+    # Oracle computes the 4x4 grid of 8x8-block values straight from
+    # the FORMULA; the engine round-trips the same values through a
+    # real baseline-JPEG encode (encode_gray_jpeg: DCT + huffman) ->
+    # the real T.81 decoder -> block-mean thumbnail. Constant integer
+    # blocks with q=1 quantization make the DCT round-trip exact to
+    # ~1e-14, and ROUND(...,6) lands both engines on identical floats.
+    "WITH ids AS (SELECT doc_id FROM documents), "
+    "cell AS (SELECT doc_id, r, c, "
+    "  (doc_id * 31 + r * 8 + c * 3) % 256 AS v "
+    "  FROM ids, LATERAL unnest(generate_series(0, 3)) AS s1(r), "
+    "  LATERAL unnest(generate_series(0, 3)) AS s2(c)) "
+    "SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c, "
+    "ROUND(CAST(v AS DOUBLE), 6) AS mean_luma FROM cell",
+)
+def q_jpeg_features(spark, sf_dir):
+    """REAL JPEG decode under the value-hash gate: deterministic
+    constant-block 32x32 grayscale -> real baseline-JPEG encode
+    (DCT + canonical huffman, q=1) -> the real T.81 sequential decoder
+    -> 4x4 block-mean thumbnails, exact vs the pixel formula."""
+    from kgtk_spark.textops.multimodal import thumbnail_image
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from kgtk_spark.textops.multimodal import encode_gray_jpeg
+
+        r, c = np.mgrid[0:4, 0:4]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                bv = (int(d) * 31 + r * 8 + c * 3) % 256
+                img = np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+                payloads.append(encode_gray_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpgs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    t = thumbnail_image(jpgs, out_h=4, out_w=4)
+    return (
+        t.filter(F.col("decoded"))
+        .select("doc_id", F.posexplode("pixels").alias("idx", "v"))
+        .select(
+            "doc_id",
+            F.floor(F.col("idx") / 4).cast("int").alias("r"),
+            (F.col("idx") % 4).cast("int").alias("c"),
+            F.round("v", 6).alias("mean_luma"),
+        )
+    )
+
+
+@query(
     "doc_token_df",
     "WITH toks AS (SELECT doc_id, "
     "  unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), "
@@ -2293,6 +2347,7 @@ _DRIVER_HEAD = [
     "kgtk_validate_properties",
     # new in round 5 — never driver-verified (keep inside the 50-window)
     "doc_span_dedup_keepone",
+    "multimodal_jpeg_features",
 ]
 _DRIVER_TAIL = [
     # driver-verified green in CORRECTNESS_r04.json — safest to rotate out

@@ -445,6 +445,187 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     return np.clip(yplane[:h, :w], 0.0, 255.0)
 
 
+def _enc_dct_matrix() -> np.ndarray:
+    u, x = np.mgrid[0:8, 0:8]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _enc_magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + amplitude bits for a signed value."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _enc_huffman(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Canonical Huffman table (JPEG DHT shape) from a symbol stream:
+    returns (bits[1..16] counts, values in code order, {sym: (len,
+    code)}). Falls back to fixed-length codes if the optimal tree
+    exceeds JPEG's 16-bit depth limit (pathological frequencies)."""
+    import heapq
+    from collections import Counter
+
+    freq = Counter(symbols)
+    if len(freq) == 1:
+        sym = next(iter(freq))
+        return [1] + [0] * 15, [sym], {sym: (1, 0)}
+    heap = [(n, i, [s]) for i, (s, n) in enumerate(sorted(freq.items()))]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for s in freq}
+    tie = len(heap)
+    while len(heap) > 1:
+        n1, _, s1 = heapq.heappop(heap)
+        n2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (n1 + n2, tie, s1 + s2))
+        tie += 1
+    if max(depth.values()) > 16:
+        fixed = max((len(freq)).bit_length(), 1)
+        depth = {s: fixed for s in freq}
+    ordered = sorted(freq, key=lambda s: (depth[s], s))
+    bits = [0] * 16
+    for s in ordered:
+        bits[depth[s] - 1] += 1
+    codes: dict[int, tuple[int, int]] = {}
+    code, prev_len = 0, depth[ordered[0]]
+    for s in ordered:
+        code <<= depth[s] - prev_len
+        codes[s] = (depth[s], code)
+        prev_len = depth[s]
+        code += 1
+    return bits, ordered, codes
+
+
+class _EncBitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        if self._n:
+            self._acc = (self._acc << (8 - self._n)) | ((1 << (8 - self._n)) - 1)
+            self.out.append(self._acc)
+            if self._acc == 0xFF:
+                self.out.append(0x00)
+            self._acc = 0
+            self._n = 0
+
+
+def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Baseline sequential JPEG encoder for an 8-bit grayscale array
+    (SOF0, one component, canonical computed Huffman tables, all-ones
+    quantization by default — ITU T.81 encode counterpart of
+    ``_decode_jpeg``). Pure stdlib + numpy.
+
+    Determinism note the oracle relies on: an image built of CONSTANT
+    8x8 blocks with integer values has a DC-only spectrum, and with
+    q=1 quantization the decode round-trip is BIT-EXACT (DC = 8*(v-128)
+    is integral; every AC quantizes to zero), so decoded pixel values
+    equal the source formula exactly — the property the
+    ``multimodal_jpeg_features`` value-hash oracle is built on.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = (
+        np.ones(64, dtype=np.int64)
+        if quant is None
+        else np.asarray(quant, dtype=np.int64).ravel()
+    )
+    d = _enc_dct_matrix()
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(
+        img, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"
+    ).astype(np.float64)
+
+    blocks: list[tuple[int, list[tuple[int, int]], bool]] = []
+    pred = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+            coef = d @ blk @ d.T
+            zz = np.round(coef.ravel()[_JPEG_ZIGZAG] / q).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            acs: list[tuple[int, int]] = []
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                if zz[k] == 0:
+                    run += 1
+                    if run == 16:
+                        acs.append((15, 0))  # ZRL
+                        run = 0
+                else:
+                    acs.append((run, int(zz[k])))
+                    run = 0
+            blocks.append((diff, acs, last < 63))  # no EOB when k=63 ends
+
+    dc_syms = [_enc_magnitude(diff)[0] for diff, _, _ in blocks]
+    ac_syms: list[int] = []
+    for _, acs, eob in blocks:
+        for run, v in acs:
+            ac_syms.append(run << 4 | _enc_magnitude(v)[0])
+        if eob:
+            ac_syms.append(0x00)
+    if not ac_syms:
+        ac_syms = [0x00]  # table must exist even for DC-only streams
+    dbits, dvals, dcodes = _enc_huffman(dc_syms)
+    abits, avals, acodes = _enc_huffman(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(v) & 0xFF for v in q
+    )
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    for tc, (tbits, tvals) in ((0, (dbits, dvals)), (1, (abits, avals))):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(tvals))
+            + bytes([tc << 4])
+            + bytes(tbits)
+            + bytes(tvals)
+        )
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    wtr = _EncBitWriter()
+    for diff, acs, eob in blocks:
+        s, amp = _enc_magnitude(diff)
+        ln, code = dcodes[s]
+        wtr.put(code, ln)
+        wtr.put(amp, s)
+        for run, v in acs:
+            vs, vamp = _enc_magnitude(v)
+            ln, code = acodes[run << 4 | vs]
+            wtr.put(code, ln)
+            wtr.put(vamp, vs)
+        if eob:
+            ln, code = acodes[0x00]
+            wtr.put(code, ln)
+    wtr.flush()
+    return bytes(out + wtr.out + b"\xff\xd9")
+
+
 def _decode_real(payload: bytes):
     """Decoder hook: REAL for PNG/BMP/PPM/PGM/baseline-JPEG
     (decode_image_bytes); formats needing codec libraries

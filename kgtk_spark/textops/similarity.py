@@ -59,8 +59,28 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.randn(bits, dim)
 
 
-def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Random-hyperplane sign bits packed into a long (JVM-side).
+# above this many plane cells (bits x dim) the literal-expression
+# signature is replaced by one numpy matmul per Arrow batch: at
+# production embedding dims (768-4096) x 16+ bits the expression path
+# would carry tens of thousands of literals and the aggregate chains
+# don't codegen, while the matmul is one BLAS call per batch
+MATRIX_UDF_CELLS = 4096
+
+
+def lsh_signature(
+    vec_col: Column, planes: np.ndarray, matrix_udf: bool | None = None
+) -> Column:
+    """Random-hyperplane sign bits packed into a long.
+
+    Two equivalent evaluation paths, auto-selected by plane-matrix
+    size (``matrix_udf=None``) or forced for testing:
+
+    - *expression* (small planes): per-plane JVM ``aggregate(zip_with)``
+      dot products — no Python at all;
+    - *matrix UDF* (``bits x dim >= MATRIX_UDF_CELLS``): ONE vectorized
+      ``X @ planes.T`` per Arrow batch against the closed-over matrix
+      (the ``ivf_build`` ``assign_udf`` pattern), keeping the plan a
+      single small node instead of tens of thousands of literals.
 
     Zero planes → constant signature 0: every vector lands in ONE
     bucket, degrading the LSH consumers to exhaustive exact mode (used
@@ -68,6 +88,22 @@ def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
     are not reproducible cross-engine)."""
     if len(planes) == 0:
         return F.lit(0).cast("long")
+    n_bits, dim = planes.shape
+    if matrix_udf is None:
+        matrix_udf = n_bits * dim >= MATRIX_UDF_CELLS
+    if matrix_udf:
+        m_t = planes.astype(np.float64).T.copy()  # (dim, bits)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+        @F.pandas_udf("long")
+        def sig_udf(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series(np.array([], dtype=np.int64))
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            signs = (x @ m_t) >= 0.0  # (batch, bits)
+            return pd.Series((signs * weights[None, :]).sum(axis=1).astype(np.int64))
+
+        return sig_udf(vec_col)
     bits = []
     for i, p in enumerate(planes):
         q = F.array(*[F.lit(float(v)) for v in p])

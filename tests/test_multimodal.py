@@ -515,3 +515,33 @@ def test_thumbnail_image_corrupt_valid_magic_payloads(spark):
     assert out[2]["decoded"] is False
     assert out[3]["decoded"] is False
     assert len(out[2]["pixels"]) == 16 and len(out[3]["pixels"]) == 16
+
+
+def test_encode_gray_jpeg_roundtrip():
+    """the package's own baseline encoder must round-trip through the
+    T.81 decoder: ~exact at q=1 on arbitrary images, BIT-exact (before
+    float noise ~1e-14) on constant 8x8 blocks — the property the
+    multimodal_jpeg_features oracle is built on."""
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import decode_image_bytes, encode_gray_jpeg
+
+    rng = np.random.RandomState(0)
+    # arbitrary content, non-multiple-of-8 dims
+    img = rng.randint(0, 256, (24, 17)).astype(np.uint8)
+    out = decode_image_bytes(encode_gray_jpeg(img))
+    assert out.shape == (24, 17)
+    assert np.abs(out - img).max() < 2.0  # q=1: IDCT rounding only
+
+    # constant blocks: DC-only spectrum, exact round-trip
+    bv = rng.randint(0, 256, (4, 4))
+    cimg = np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    cout = decode_image_bytes(encode_gray_jpeg(cimg))
+    assert np.abs(cout - cimg).max() < 1e-9
+
+    # >16 consecutive zero ACs force ZRL symbols; a block whose last
+    # nonzero coefficient is k=63 must carry no EOB — exercise both
+    # with a high-frequency checkerboard
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    cb = decode_image_bytes(encode_gray_jpeg(checker))
+    assert np.abs(cb - checker).max() < 2.0

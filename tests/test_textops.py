@@ -192,6 +192,56 @@ def test_lsh_topk_overlaps_exact(spark, emb):
     assert len(exact & approx) >= 3  # approximate, but not garbage
 
 
+def test_lsh_signature_matrix_udf_parity_low_dim(spark, emb):
+    """the Arrow matmul path and the JVM expression path must produce
+    IDENTICAL packed signatures (same planes, same sign convention)."""
+    import numpy as np
+
+    from kgtk_spark.textops.similarity import _hyperplanes, lsh_signature
+
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim, 6, seed=7)
+    expr = {r["vec_id"]: r["s"] for r in emb.select(
+        "vec_id", lsh_signature(F.col("embedding"), planes,
+                                matrix_udf=False).alias("s")).collect()}
+    mat = {r["vec_id"]: r["s"] for r in emb.select(
+        "vec_id", lsh_signature(F.col("embedding"), planes,
+                                matrix_udf=True).alias("s")).collect()}
+    assert expr == mat and len(expr) > 0
+
+
+def test_lsh_signature_high_dim_auto_matrix_and_small_plan(spark):
+    """dim=768 x bits=16 crosses MATRIX_UDF_CELLS: the auto path must
+    pick the matrix UDF, the plan must stay one small node (not tens of
+    thousands of literals), and results must match the expression path."""
+    import numpy as np
+
+    from kgtk_spark.textops.similarity import (
+        MATRIX_UDF_CELLS, _hyperplanes, lsh_signature,
+    )
+
+    dim, bits = 768, 16
+    assert dim * bits >= MATRIX_UDF_CELLS
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(12, dim)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = _hyperplanes(dim, bits, seed=5)
+    auto = df.select(
+        "vec_id", lsh_signature(F.col("embedding"), planes).alias("s")
+    )
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
+    assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+    a = {r["vec_id"]: r["s"] for r in auto.collect()}
+    e = {r["vec_id"]: r["s"] for r in df.select(
+        "vec_id", lsh_signature(F.col("embedding"), planes,
+                                matrix_udf=False).alias("s")).collect()}
+    assert a == e
+
+
 def test_cosine_pairs_finds_self_similarity(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
