@@ -3,9 +3,11 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched ``mapInPandas`` stages.
 Decoders are REAL where stdlib+numpy suffice: PNG, BMP, PPM/PGM,
-baseline JPEG (full T.81 sequential huffman decode), and WAV/PCM audio.
-The codec libraries (PIL/ffmpeg/av) are NOT in this container, so
-WebP / video / progressive-JPEG decode remains a clearly-marked stub:
+JPEG (full T.81 huffman decode — baseline sequential AND progressive
+with spectral selection / successive approximation), and WAV/PCM
+audio; a baseline JPEG ENCODER (``encode_gray_jpeg``) closes the
+round-trip. The codec libraries (PIL/ffmpeg/av) are NOT in this
+container, so WebP / video decode remains a clearly-marked stub:
 ``extract_features_stub`` computes deterministic byte-level features
 (length, sha-derived checksum bucket, a fixed-width byte histogram)
 through the exact schema / partitioning / batch shape a real extractor
@@ -64,10 +66,10 @@ FEATURES_SCHEMA = T.StructType(
 def decode_image_bytes(b: bytes) -> np.ndarray:
     """REAL image decode for dependency-free formats: PNG (zlib
     inflate + scanline unfilter), uncompressed BMP (24/32 bpp), binary
-    PPM/PGM, and baseline JPEG (full T.81 sequential huffman decode —
-    ``_decode_jpeg``). Returns a (H, W) float64 GRAYSCALE array
-    (ITU-R 601 luma for color inputs). Raises ValueError on anything
-    else (WebP/video and progressive JPEG need codec libs this
+    PPM/PGM, and JPEG (full T.81 huffman decode, baseline sequential
+    AND progressive — ``_decode_jpeg``). Returns a (H, W) float64
+    GRAYSCALE array (ITU-R 601 luma for color inputs). Raises
+    ValueError on anything else (WebP/video need codec libs this
     container lacks — see ``_decode_real``)."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
@@ -286,17 +288,53 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decoder (SOF0/SOF1, 8-bit, huffman,
-    1-4 components, any sampling factors, restart markers). Pure
-    stdlib struct + numpy — no codec libraries. Returns the LUMA plane
-    (Y is already ITU-R 601 luma in JFIF), matching the grayscale
-    contract of ``decode_image_bytes``; chroma blocks are entropy-
-    decoded (the bitstream interleaves them) but skip the IDCT.
+def _jpeg_entropy_segments(b: bytes, pos: int) -> tuple:
+    """Collect entropy-coded data starting at ``pos``: unstuff 0xFF00,
+    split at restart markers. Returns (segments, pos of next marker)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    while pos < len(b):
+        c = b[pos]
+        if c != 0xFF:
+            cur.append(c)
+            pos += 1
+            continue
+        m = b[pos + 1] if pos + 1 < len(b) else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next header
+            break
+    segments.append(bytes(cur))
+    return segments, pos
 
-    Progressive (SOF2) and arithmetic-coded variants raise ValueError —
-    they are rare in web corpora relative to baseline and excluded from
-    this dependency-free kernel.
+
+def _jpeg_refine_nonzero(cf, k: int, reader, p1: int, m1: int) -> None:
+    """AC-refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3): a 1-bit adds 1<<Al toward the sign, unless that bit
+    of the magnitude is already set."""
+    if reader.bit():
+        if (cf[k] & p1) == 0:
+            cf[k] += p1 if cf[k] > 0 else m1
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Huffman JPEG decoder: baseline sequential (SOF0/SOF1) AND
+    progressive (SOF2, spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs), 8-bit, 1-4
+    components, any sampling factors, restart markers. Pure stdlib
+    struct + numpy — no codec libraries. Returns the LUMA plane (Y is
+    already ITU-R 601 luma in JFIF), matching the grayscale contract
+    of ``decode_image_bytes``; chroma blocks are entropy-decoded (the
+    bitstream interleaves them) but skip the IDCT.
+
+    Arithmetic-coded, lossless, and hierarchical variants raise
+    ValueError — vanishingly rare on the web relative to the huffman
+    baseline + progressive pair this kernel covers.
     """
     import struct
 
@@ -304,9 +342,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     h = w = None
+    sof = None
     restart_interval = 0
     pos = 2
-    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_table, ac_table)
+    # each scan: (comps [(ci, dc_t, ac_t)], ss, se, ah, al,
+    #             huff-table snapshot, restart interval, segments)
+    scans: list[tuple] = []
     while pos < len(b) - 1:
         if b[pos] != 0xFF:
             pos += 1
@@ -315,11 +356,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS: malformed
+        if marker == 0xD9:
             break
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seglen]
-        if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            sof = marker
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"jpeg precision {prec} not supported")
@@ -328,7 +370,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                  seg[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg SOF {marker:#x} (non-baseline) not supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -352,52 +394,56 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 qt[tq] = tab
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS: scan header + entropy data
             ns = seg[0]
             by_id = {c[0]: i for i, c in enumerate(comps)}
-            for i in range(ns):
-                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append((by_id[cid], tabs >> 4, tabs & 15))
-            pos = pos + 2 + seglen
-            break
+            sc = [
+                (by_id[seg[1 + 2 * i]], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segments, pos = _jpeg_entropy_segments(b, pos + 2 + seglen)
+            scans.append(
+                (sc, ss, se, ahal >> 4, ahal & 15, dict(huffs),
+                 restart_interval, segments)
+            )
+            continue  # pos already sits at the next marker
         pos += 2 + seglen
-    if h is None or not scan:
+    if h is None or not scans:
         raise ValueError("jpeg: missing SOF/SOS")
-
-    # split entropy data at restart markers, unstuffing 0xFF00
-    segments: list[bytes] = []
-    cur = bytearray()
-    while pos < len(b):
-        c = b[pos]
-        if c != 0xFF:
-            cur.append(c)
-            pos += 1
-            continue
-        m = b[pos + 1] if pos + 1 < len(b) else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
-        else:  # EOI or next header
-            break
-    segments.append(bytes(cur))
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcux = (w + mcu_w - 1) // mcu_w
-    mcuy = (h + mcu_h - 1) // mcu_h
-    yi, ydc, yac = scan[0]
-    ych, ycv, ytq = comps[yi][1], comps[yi][2], comps[yi][3]
-    yplane = np.zeros((mcuy * ycv * 8, mcux * ych * 8))
-    # DQT stores zigzag order; scatter into raster order for dequant
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ych, ycv, ytq = comps[0][1], comps[0][2], comps[0][3]
     yq = np.zeros(64)
     yq[_JPEG_ZIGZAG] = qt[ytq]
     yq = yq.reshape(8, 8)
 
+    if sof == 0xC2:
+        yplane = _jpeg_progressive_plane(
+            b, comps, scans, h, w, hmax, vmax, mcux, mcuy, yq
+        )
+    else:
+        yplane = _jpeg_baseline_plane(
+            comps, scans[0], hmax, vmax, mcux, mcuy, yq
+        )
+
+    # luma sampling can be sub-maximal (rare); scale up to pixel grid
+    if ych != hmax or ycv != vmax:
+        yplane = np.kron(
+            yplane, np.ones((vmax // ycv, hmax // ych))
+        )
+    return np.clip(yplane[:h, :w], 0.0, 255.0)
+
+
+def _jpeg_baseline_plane(comps, scan_rec, hmax, vmax, mcux, mcuy, yq):
+    """Sequential-mode MCU loop (single interleaved scan)."""
+    scan, _ss, _se, _ah, _al, huffs, restart_interval, segments = scan_rec
+    yi = scan[0][0]
+    ych, ycv = comps[yi][1], comps[yi][2]
+    yplane = np.zeros((mcuy * ycv * 8, mcux * ych * 8))
     n_mcu = mcux * mcuy
     per_seg = restart_interval if restart_interval else n_mcu
     mcu = 0
@@ -436,13 +482,136 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                             c0 = (mx * ych + bx) * 8
                             yplane[r0 : r0 + 8, c0 : c0 + 8] = px
             mcu += 1
+    return yplane
 
-    # luma sampling can be sub-maximal (rare); scale up to pixel grid
-    if ych != hmax or ycv != vmax:
-        yplane = np.kron(
-            yplane, np.ones((vmax // ycv, hmax // ych))
-        )
-    return np.clip(yplane[:h, :w], 0.0, 255.0)
+
+def _jpeg_progressive_plane(b, comps, scans, h, w, hmax, vmax, mcux, mcuy, yq):
+    """Progressive mode: accumulate zigzag-order coefficients across
+    the scans (T.81 G.2 decoding: DC/AC first scans at Al precision,
+    refinement scans appending one bit, EOB runs carrying correction
+    bits), then dequantize + IDCT the luma plane once, batched."""
+    n_comps = len(comps)
+    # padded (interleaved-MCU) and true per-component block dims
+    bdims = []
+    coefs = []
+    for _cid, ch, cv, _tq in comps:
+        bw_pad, bh_pad = mcux * ch, mcuy * cv
+        bw = (-(-w * ch // hmax) + 7) // 8
+        bh = (-(-h * cv // vmax) + 7) // 8
+        bdims.append((bw_pad, bh_pad, bw, bh))
+        coefs.append(np.zeros((bh_pad, bw_pad, 64), dtype=np.int64))
+
+    for scan, ss, se, ah, al, huffs, restart_interval, segments in scans:
+        interleaved = len(scan) > 1
+        if ss == 0 and se != 0 and interleaved:
+            raise ValueError("jpeg: interleaved progressive scan with AC band")
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            ci0 = scan[0][0]
+            bw_pad, bh_pad, bw, bh = bdims[ci0]
+            n_units = bw * bh
+        per_seg = restart_interval if restart_interval else n_units
+        unit = 0
+        for seg_bytes in segments:
+            if unit >= n_units:
+                break
+            reader = _JpegBits(seg_bytes)
+            preds = [0] * n_comps
+            eobrun = 0
+            for _ in range(min(per_seg, n_units - unit)):
+                if interleaved:  # DC scan over MCUs
+                    my, mx = divmod(unit, mcux)
+                    for ci, dc_t, _ac_t in scan:
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                cf = coefs[ci][my * cv + by, mx * ch + bx]
+                                if ah == 0:
+                                    s = reader.huff(huffs[(0, dc_t)])
+                                    preds[ci] += _extend(reader.bits(s), s)
+                                    cf[0] = preds[ci] << al
+                                else:
+                                    cf[0] |= reader.bit() << al
+                else:
+                    ci, dc_t, ac_t = scan[0]
+                    bw_pad, _bh_pad, bw, _bh = bdims[ci]
+                    by, bx = divmod(unit, bw)
+                    cf = coefs[ci][by, bx]
+                    if ss == 0:  # non-interleaved DC scan
+                        if ah == 0:
+                            s = reader.huff(huffs[(0, dc_t)])
+                            preds[ci] += _extend(reader.bits(s), s)
+                            cf[0] = preds[ci] << al
+                        else:
+                            cf[0] |= reader.bit() << al
+                    elif ah == 0:  # AC first scan
+                        if eobrun > 0:
+                            eobrun -= 1
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = reader.huff(huffs[(1, ac_t)])
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError("jpeg: AC index past band")
+                                cf[k] = _extend(reader.bits(s), s) * (1 << al)
+                                k += 1
+                    else:  # AC refinement scan
+                        p1, m1 = 1 << al, -(1 << al)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            for k in range(ss, se + 1):
+                                if cf[k] != 0:
+                                    _jpeg_refine_nonzero(cf, k, reader, p1, m1)
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = reader.huff(huffs[(1, ac_t)])
+                                r, s = rs >> 4, rs & 15
+                                newval = 0
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += reader.bits(r)
+                                        r = 64  # sweep the rest of the band
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "jpeg: AC refinement size != 1"
+                                        )
+                                    newval = p1 if reader.bit() else m1
+                                while k <= se:
+                                    if cf[k] != 0:
+                                        _jpeg_refine_nonzero(cf, k, reader, p1, m1)
+                                    else:
+                                        if r == 0:
+                                            if newval:
+                                                cf[k] = newval
+                                            k += 1
+                                            break
+                                        r -= 1
+                                    k += 1
+                unit += 1
+
+    # dequantize + IDCT the luma plane, batched over all blocks
+    zz = coefs[0]
+    bh_pad, bw_pad = zz.shape[0], zz.shape[1]
+    raster = np.zeros((bh_pad, bw_pad, 64))
+    raster[:, :, _JPEG_ZIGZAG] = zz
+    deq = raster.reshape(bh_pad, bw_pad, 8, 8) * yq
+    px = np.einsum("ux,rcuv,vy->rcxy", _IDCT_M, deq, _IDCT_M) + 128.0
+    return px.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
 
 
 def _enc_dct_matrix() -> np.ndarray:
@@ -629,7 +798,7 @@ def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 def _decode_real(payload: bytes):
     """Decoder hook: REAL for PNG/BMP/PPM/PGM/baseline-JPEG
     (decode_image_bytes); formats needing codec libraries
-    (WebP/video/progressive JPEG) are not decodable in this
+    (WebP/video) are not decodable in this
     container."""
     try:
         return decode_image_bytes(payload)
@@ -827,7 +996,7 @@ def thumbnail_image(
     """Thumbnail pipeline with a REAL decode for PNG/BMP/PPM/PGM and
     baseline-JPEG payloads (``decode_image_bytes`` — stdlib + numpy, no
     codec libraries) and the byte-fake fallback for formats this
-    container cannot decode (WebP/video/progressive JPEG). ``decoded``
+    container cannot decode (WebP/video). ``decoded``
     reports which path a row took. Same block-mean downsample on both
     paths."""
 

@@ -450,17 +450,215 @@ def test_decode_jpeg_420_subsampling():
     assert np.abs(out - img.astype(np.float64)).max() < 4.0
 
 
-def test_decode_jpeg_progressive_rejected():
+def _make_jpeg_progressive(img):
+    """Encode a grayscale uint8 array as PROGRESSIVE JPEG (SOF2, one
+    component, all-ones quant) with the canonical 5-scan progression:
+    DC first at Al=1, DC refinement, AC first (bands 1-5 and 6-63) at
+    Al=1, AC refinement of 1-63 down to Al=0. Independent test-side
+    implementation of T.81 G.1/G.2 (incl. EOB correction-bit carriage
+    and position-windowed ZRL in the refinement scan) used to golden
+    the engine decoder."""
     import struct
 
-    import pytest
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import _JPEG_ZIGZAG
+
+    h, w = img.shape
+    dct_m = _jpeg_dct_m()
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(img, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge")
+    zzs = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            coef = dct_m @ (blk.astype(np.float64) - 128.0) @ dct_m.T
+            zzs.append(np.round(coef.reshape(64)[_JPEG_ZIGZAG]).astype(int))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (b"\xff\xc2" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">H", 8)
+                + bytes([1, 1, 0x00, ss, se, ah << 4 | al]))
+
+    # scan 1: DC first, point transform = arithmetic shift by Al=1
+    dcs = [int(zz[0]) for zz in zzs]
+    diffs, pred = [], 0
+    for dc in dcs:
+        v = dc >> 1
+        diffs.append(v - pred)
+        pred = v
+    bits, vals, codes = _jpeg_tables([_jpeg_mag(d)[0] for d in diffs])
+    out += _jpeg_dht(0, 0, bits, vals)
+    out += sos(0, 0, 0, 1)
+    wtr = _JW()
+    for d in diffs:
+        s, amp = _jpeg_mag(d)
+        ln, code = codes[s]
+        wtr.put(code, ln)
+        wtr.put(amp, s)
+    wtr.flush()
+    out += wtr.out
+
+    # scan 2: DC refinement — one raw bit per block, no huffman
+    out += sos(0, 0, 1, 0)
+    wtr = _JW()
+    for dc in dcs:
+        wtr.put(dc & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # scans 3+4: AC first at Al=1, split spectral bands
+    for ss, se in ((1, 5), (6, 63)):
+        blocks_ev = []
+        for zz in zzs:
+            t = [int(np.sign(zz[k])) * (abs(int(zz[k])) >> 1)
+                 for k in range(ss, se + 1)]
+            acs, run = [], 0
+            for v in t:
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        acs.append((15, 0))
+                        run -= 16
+                    acs.append((run, v))
+                    run = 0
+            blocks_ev.append((acs, run > 0))
+        syms = [0x00]
+        for acs, eob in blocks_ev:
+            syms += [r << 4 | _jpeg_mag(v)[0] for r, v in acs]
+        bits, vals, codes = _jpeg_tables(syms)
+        out += _jpeg_dht(1, 0, bits, vals)
+        out += sos(ss, se, 0, 1)
+        wtr = _JW()
+        for acs, eob in blocks_ev:
+            for r, v in acs:
+                s, amp = _jpeg_mag(v)
+                ln, code = codes[r << 4 | s]
+                wtr.put(code, ln)
+                wtr.put(amp, s)
+            if eob:
+                ln, code = codes[0x00]
+                wtr.put(code, ln)
+        wtr.flush()
+        out += wtr.out
+
+    # scan 5: AC refinement 1-63, Ah=1 -> Al=0. Correction bits ride in
+    # POSITIONAL order inside each symbol's walk window (T.81 G.1.2.3).
+    blocks_ev = []
+    for zz in zzs:
+        ev, items, r = [], [], 0  # items: ('z',) | ('b', bit), since last symbol
+        for k in range(1, 64):
+            v = int(zz[k])
+            t = abs(v)
+            if t == 0:
+                items.append(("z",))
+                r += 1
+            elif t > 1:
+                items.append(("b", t & 1))
+            else:  # newly significant at this precision
+                while r > 15:
+                    cnt, win = 0, []
+                    while cnt < 16:
+                        it = items.pop(0)
+                        win.append(it)
+                        if it[0] == "z":
+                            cnt += 1
+                    ev.append(("zrl", [b for tag, *b_ in win for b in b_]))
+                    r -= 16
+                ev.append(("sig", r, 1 if v > 0 else 0,
+                           [b for tag, *b_ in items for b in b_]))
+                items, r = [], 0
+        if items:
+            ev.append(("eob", [b for tag, *b_ in items for b in b_]))
+        blocks_ev.append(ev)
+    syms = [0x00]
+    for ev in blocks_ev:
+        syms += [0xF0 if e[0] == "zrl" else (e[1] << 4 | 1) if e[0] == "sig"
+                 else 0x00 for e in ev]
+    bits, vals, codes = _jpeg_tables(syms)
+    out += _jpeg_dht(1, 0, bits, vals)
+    out += sos(1, 63, 1, 0)
+    wtr = _JW()
+    for ev in blocks_ev:
+        for e in ev:
+            if e[0] == "zrl":
+                ln, code = codes[0xF0]
+                wtr.put(code, ln)
+                for bbit in e[1]:
+                    wtr.put(bbit, 1)
+            elif e[0] == "sig":
+                _, r, sign, br = e
+                ln, code = codes[r << 4 | 1]
+                wtr.put(code, ln)
+                wtr.put(sign, 1)
+                for bbit in br:
+                    wtr.put(bbit, 1)
+            else:
+                ln, code = codes[0x00]
+                wtr.put(code, ln)
+                for bbit in e[1]:
+                    wtr.put(bbit, 1)
+    wtr.flush()
+    out += wtr.out
+    return bytes(out + b"\xff\xd9")
+
+
+def test_decode_jpeg_progressive_roundtrip():
+    """full 5-scan progressive (DC/AC spectral selection + successive
+    approximation) refines to the same coefficients as baseline q=1,
+    so the decode must match the source within IDCT rounding."""
+    import numpy as np
 
     from kgtk_spark.textops.multimodal import decode_image_bytes
 
-    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11)
-            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_image_bytes(sof2)
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (24, 17)).astype(np.uint8)
+    out = decode_image_bytes(_make_jpeg_progressive(img))
+    assert out.shape == (24, 17)
+    assert np.abs(out - img).max() < 2.0
+
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    gout = decode_image_bytes(_make_jpeg_progressive(grad))
+    assert np.abs(gout - grad).max() < 2.0
+
+    # constant blocks: DC-only spectrum survives the Al split exactly
+    bv = rng.randint(0, 256, (2, 3))
+    cimg = np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    cout = decode_image_bytes(_make_jpeg_progressive(cimg))
+    assert np.abs(cout - cimg).max() < 1e-9
+
+    # high-frequency checkerboard: exercises ZRL + correction-bit
+    # windows in the refinement scan
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    cb = decode_image_bytes(_make_jpeg_progressive(checker))
+    assert np.abs(cb - checker).max() < 2.0
+
+    # progressive and baseline encodings of the same image must decode
+    # to nearly identical planes (same final coefficients)
+    base = decode_image_bytes(_make_jpeg_gray(img))
+    prog = decode_image_bytes(_make_jpeg_progressive(img))
+    assert np.abs(base - prog).max() < 1e-9
+
+
+def test_thumbnail_image_progressive_takes_real_path(spark):
+    """progressive payloads now take decoded=True — the round-4
+    fallback flag is flipped."""
+    import numpy as np
+
+    from kgtk_spark.textops.multimodal import thumbnail_image
+
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    rows = [(1, bytearray(_make_jpeg_progressive(grad)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in thumbnail_image(df, out_h=4, out_w=4).collect()}
+    assert out[1]["decoded"] is True
+    pix = np.array(out[1]["pixels"]).reshape(4, 4)
+    assert (np.diff(pix[0]) > 0).all()
 
 
 def test_thumbnail_image_real_and_fallback(spark):
