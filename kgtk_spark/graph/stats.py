@@ -366,3 +366,63 @@ def degree_summary(edges: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def triangle_count(
+    edges: DataFrame, node1: str | None = None, node2: str | None = None
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED simple graph underlying
+    the edge frame — one row ``(n_triangles)``.
+
+    Scale shape (the classic degree-orientation trick): every edge is
+    oriented from its lower ``(degree, id)`` endpoint to the higher, so
+    each vertex's out-degree is bounded by ~sqrt(m) and the wedge
+    self-join does O(m^1.5) work instead of hub-quadratic — a 10M-
+    follower hub never self-joins its neighbor list. Wedges then probe
+    the oriented edge set once (semi-join-shaped inner join); every
+    triangle is counted exactly once because the orientation is
+    acyclic. Three shuffles total (dedup, degree join, wedge+probe),
+    all hash-keyed, AQE-splittable.
+    """
+    n1, _, n2 = _edge_cols(edges)
+    node1, node2 = node1 or n1, node2 or n2
+    e = (
+        edges.select(
+            F.least(F.col(node1), F.col(node2)).alias("u"),
+            F.greatest(F.col(node1), F.col(node2)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnsRenamed({"node": "u", "d": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "d": "dv"}), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.x") == F.col("b.x"))
+        & (
+            (F.col("a.dy") < F.col("b.dy"))
+            | ((F.col("a.dy") == F.col("b.dy")) & (F.col("a.y") < F.col("b.y")))
+        ),
+    ).select(F.col("a.y").alias("w1"), F.col("b.y").alias("w2"))
+    closed = wedges.join(
+        oriented,
+        (F.col("w1") == F.col("x")) & (F.col("w2") == F.col("y")),
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -348,3 +348,38 @@ def cohort_retention(
         .groupBy("cohort_date", "day_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def group_percentiles(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    percentiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per group —
+    (group, p, percentile_value), one output row per group x p.
+
+    Uses Spark's exact ``percentile`` aggregate (continuous
+    interpolation at rank p*(n-1), the same definition as ANSI
+    ``percentile_cont`` / DuckDB ``quantile_cont``, so the values are
+    engine-portable). One hash aggregation; per-group state is the
+    value multiset — exact percentiles fundamentally need it, and at
+    100 TB the move is ``approx_percentile`` with a bounded sketch,
+    kept here as the same call shape. The array unpivot after the agg
+    is row-bounded by |groups| x |percentiles|.
+    """
+    plist = ", ".join(repr(float(p)) for p in percentiles)
+    agg = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({plist}))").alias("__pv__")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(float(p)) for p in percentiles]).alias("p"),
+        F.col("__pv__").alias("v"),
+    )
+    return agg.select(
+        group_col, F.explode(pairs).alias("__e__")
+    ).select(
+        group_col,
+        F.col("__e__.p").alias("p"),
+        F.round(F.col("__e__.v"), 6).alias("percentile_value"),
+    )

@@ -260,6 +260,90 @@ def token_df(
     )
 
 
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token): lowercased nonempty whitespace tokens, JVM-side."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .withColumn("token", F.lower(F.col("token")))
+        .filter(F.col("token") != "")
+    )
+
+
+def unigram_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cheap LM quality proxy: score each doc by the
+    cross-entropy of its tokens under the CORPUS unigram distribution
+    — ``unigram_xent = -mean log2 p(token)``, where p is the token's
+    corpus frequency. Gibberish and boilerplate-stuffed docs sit at
+    the distribution tails exactly as with the real 5-gram LM CCNet
+    uses, at a fraction of the cost (no model artifact to ship).
+
+    Returns (id, n_tokens, unigram_xent); empty docs drop out.
+
+    Plan: one token explode feeding ONE frequency aggregation (map-side
+    partial), the corpus total as a 1-row broadcast (no driver action,
+    stays lazy), a token-keyed join back (hot tokens join a VOCAB-sized
+    dim, AQE-splittable), and a per-doc average. No Python anywhere.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt__"))
+    total = freq.agg(F.sum("__cnt__").cast("double").alias("__total__"))
+    scored = toks.join(freq, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            -F.avg(F.log2(F.col("__cnt__") / F.col("__total__"))), 6
+        ).alias("unigram_xent"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing) —
+    keyword extraction / topic fingerprinting over a corpus.
+
+    Returns (id, token, tf, score, rank), rank 1..k per doc, ties
+    broken by token so ranks are deterministic cross-engine.
+
+    Plan: token explode -> (doc, token) tf aggregation -> token df
+    aggregation derived FROM the tf frame (no second pass over the
+    text), doc count as a 1-row broadcast, and a per-doc window for
+    the top-k. The window partitions on doc id — per-partition state
+    is one doc's vocabulary, never corpus-scale.
+    """
+    toks = _tokens(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df__"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.col("__n__") + 1.0) / (F.col("__df__") + 1.0)) + 1.0),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "score", "rank")
+    )
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -322,3 +322,34 @@ def test_scc_chain_of_cycles_worst_case(spark):
     assert len(rounds) == n_cycles
     # each round strictly shrinks the live edge set
     assert rounds == sorted(rounds, reverse=True) and len(set(rounds)) == len(rounds)
+
+
+def test_triangle_count_known_graphs(spark):
+    from kgtk_spark.graph.stats import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "node1 string, node2 string")
+        return triangle_count(df).first()["n_triangles"]
+
+    # K4: 4 triangles — with duplicate and reversed edges thrown in
+    # (the canonicalize+distinct must absorb them) and a self-loop
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("c", "b"), ("a", "b"), ("d", "d")]
+    assert tri(k4) == 4
+    # path graph: no triangles
+    assert tri([("a", "b"), ("b", "c"), ("c", "d")]) == 0
+    # two disjoint triangles + a pendant
+    two = [("a", "b"), ("b", "c"), ("a", "c"),
+           ("x", "y"), ("y", "z"), ("x", "z"), ("z", "w")]
+    assert tri(two) == 2
+
+
+def test_triangle_count_star_hub_stays_linear(spark):
+    """a 200-leaf star has NO triangles; the degree orientation points
+    every edge leaf->hub, so the hub's out-degree is 0 and the wedge
+    join emits nothing (naive orientation would wedge 200x199 pairs)."""
+    from kgtk_spark.graph.stats import triangle_count
+
+    star = [("hub", f"leaf{i}") for i in range(200)]
+    df = spark.createDataFrame(star, "node1 string, node2 string")
+    assert triangle_count(df).first()["n_triangles"] == 0

@@ -770,3 +770,59 @@ def test_token_count_bpe_regex(spark):
     # I | 'll | _say | _hello | - | world | _42 | _times | !
     assert out["a"]["n_bpe"] == 9
     assert out["b"]["n_tokens"] == 0 and out["b"]["n_bpe"] == 0
+
+
+def test_unigram_cross_entropy(spark):
+    """xent must rank an all-common-token doc below (lower xent) a doc
+    of corpus-rare tokens, and the values must match the closed form."""
+    import math
+
+    from kgtk_spark.textops.quality import unigram_cross_entropy
+
+    # corpus: "the" x 8, "rare" x 1, "word" x 1  (total 10 tokens)
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the the the the"),
+         (3, "rare word")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["unigram_xent"] - (-math.log2(8 / 10))) < 1e-6
+    assert abs(out[3]["unigram_xent"] - (-math.log2(1 / 10))) < 1e-6
+    assert out[3]["unigram_xent"] > out[1]["unigram_xent"]
+
+
+def test_tfidf_top_terms(spark):
+    """a token unique to one doc must outrank corpus-wide boilerplate."""
+    from kgtk_spark.textops.quality import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common common zebra"), (2, "common common common"),
+         (3, "common aardvark")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score"]))
+    # equal tf: the rare token's idf wins (aardvark 1.693 vs common 1.0)
+    assert sorted(by_doc[3])[0][1] == "aardvark"
+    assert sorted(by_doc[2]) == [(1, "common", 3.0)]  # only token
+    # smoothed idf: df=N token scores exactly tf (ln((N+1)/(N+1))+1 = 1)
+    d1 = {t: s for _, t, s in by_doc[1]}
+    assert d1["common"] == 2.0
+    assert abs(d1["zebra"] - 1.693147) < 1e-6
+    assert all(r["rank"] <= 2 for r in out)
+
+
+def test_group_percentiles(spark):
+    """exact interpolated percentiles (percentile_cont definition)."""
+    from kgtk_spark.textops.olap import group_percentiles
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {(r["event_type"], r["p"]): r["percentile_value"]
+           for r in group_percentiles(df).collect()}
+    assert out[("a", 0.5)] == 5.5      # (10 values: interp between 5,6)
+    assert abs(out[("a", 0.9)] - 9.1) < 1e-9
+    assert out[("b", 0.99)] == 5.0
