@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "doc_span_dedup",
     "doc_token_df",
     "multimodal_wav_features",
+    # round-5 additions
+    "doc_unigram_xent",
+    "doc_tfidf_topk",
+    "graph_triangles",
+    "multimodal_jpeg_features",
 ]
 
 

@@ -351,6 +351,20 @@ def run_export_cypher(spark, args):
     return export_cypher(_read(spark, args.input_file, args.mode))
 
 
+def run_export_graphml(spark, args):
+    # CLI face of sources/graphml.export_graphml (the interchange half
+    # of the reference's export-gt; the .gt binary itself is
+    # graph-tool-internal and intentionally not reproduced)
+    from kgtk_spark.sources.graphml import export_graphml
+
+    export_graphml(
+        _read(spark, args.input_file, args.mode),
+        args.output_file,
+        edge_attrs=args.edge_attr or None,
+    )
+    return None
+
+
 def run_generate_wikidata_triples(spark, args):
     from kgtk_spark.sources.wikidata_rdf import generate_wikidata_triples
 
@@ -683,6 +697,9 @@ def build_parser() -> argparse.ArgumentParser:
     cmd("zconcat", run_cat, multi_input=True)  # codec-auto concat
     cmd("export-ntriples", run_export_ntriples)
     cmd("export-neo4j", run_export_cypher)  # kgtk/cli/export_neo4j.py
+
+    p = cmd("export-graphml", run_export_graphml)
+    p.add_argument("--edge-attr", action="append")
 
     p = cmd("generate-wikidata-triples", run_generate_wikidata_triples)
     p.add_argument("--property-types-file", required=True)

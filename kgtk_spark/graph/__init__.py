@@ -7,7 +7,7 @@ localCheckpoint between rounds to cut lineage.
 """
 
 from kgtk_spark.graph.connected_components import connected_components
-from kgtk_spark.graph.stats import degrees, graph_statistics, pagerank
+from kgtk_spark.graph.stats import degrees, graph_statistics, pagerank, triangle_count
 from kgtk_spark.graph.reachable import reachable_nodes
 
 __all__ = [
@@ -16,4 +16,5 @@ __all__ = [
     "pagerank",
     "graph_statistics",
     "reachable_nodes",
+    "triangle_count",
 ]

@@ -30,15 +30,19 @@ from kgtk_spark.textops.quality import (
     doc_fingerprint,
     repetition_signals,
     language_id,
+    tfidf_top_terms,
     token_df,
     quality_score,
     token_count,
+    unigram_cross_entropy,
 )
 from kgtk_spark.textops.corpus import clean_corpus
 from kgtk_spark.textops.skew import salted_join
 from kgtk_spark.textops.multimodal import (
     attach_binary_payload,
     audio_features,
+    decode_image_bytes,
+    encode_gray_jpeg,
     extract_features_stub,
     resize_image_stub,
     sample_video_frames,
@@ -64,11 +68,15 @@ __all__ = [
     "quality_score",
     "token_count",
     "token_df",
+    "tfidf_top_terms",
+    "unigram_cross_entropy",
     "doc_fingerprint",
     "repetition_signals",
     "salted_join",
     "clean_corpus",
     "attach_binary_payload",
+    "decode_image_bytes",
+    "encode_gray_jpeg",
     "extract_features_stub",
     "audio_features",
     "sample_video_frames",

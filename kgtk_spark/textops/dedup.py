@@ -186,6 +186,7 @@ def _lsh_candidates(
     bands: int,
     rows_per_band: int,
     bucket_cap: int,
+    observation=None,
 ) -> tuple:
     """Banded LSH candidate pairs with a bucket-size cap.
 
@@ -195,6 +196,13 @@ def _lsh_candidates(
     DISTINCT set of doc ids that appeared in at least one over-cap
     bucket — the caller (``minhash_near_dup``) runs the recovery pass
     over it so those docs don't silently lose their candidates.
+
+    ``observation`` (a ``pyspark.sql.Observation``) is attached to the
+    windowed frame recording ``max_bsz``, the corpus-wide maximum
+    bucket size: the caller learns whether ANY bucket exceeded the cap
+    as a free side-channel of the pairs materialization instead of a
+    second pass over the banding shuffle (``max`` is also insensitive
+    to the observed subtree executing more than once, unlike a count).
     """
     banded = sigs.select(
         id_col,
@@ -223,6 +231,8 @@ def _lsh_candidates(
 
     w = Window.partitionBy("band", "bucket")
     sized = banded.withColumn("__bsz__", F.count(F.lit(1)).over(w))
+    if observation is not None:
+        sized = sized.observe(observation, F.max("__bsz__").alias("max_bsz"))
     residue = (
         sized.filter(F.col("__bsz__") > bucket_cap).select(id_col).distinct()
     )
@@ -288,6 +298,13 @@ def minhash_near_dup(
     pass candidates, so precision is unchanged — recovery only adds
     recall. Anything still over cap after stage 2 is finally dropped
     and counted (``log_skipped``, default on).
+
+    Clean-corpus cost of the recovery machinery is ZERO extra passes:
+    whether any bucket exceeded the cap is read from an ``Observation``
+    (max bucket size) that piggybacks on the pairs materialization —
+    the banding shuffle is never re-executed just to find out nothing
+    was dropped. Only a genuinely over-cap corpus pays the residue
+    re-computation.
     """
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
@@ -295,12 +312,32 @@ def minhash_near_dup(
 
     base = _shingles_and_sigs(df, text_col, id_col, num_hashes, shingle_k).persist()
     sigs = base.select(id_col, "sig")
-    pairs, residue = _lsh_candidates(sigs, id_col, bands, rows_per_band, bucket_cap)
-
+    obs = None
     if recover_residue or log_skipped:
-        # ids only — tiny rows; materialized once, reference-tracked
-        residue = residue.localCheckpoint(eager=True)
-    if recover_residue and not residue.isEmpty():
+        from pyspark.sql import Observation
+
+        obs = Observation()
+    pairs, residue = _lsh_candidates(
+        sigs, id_col, bands, rows_per_band, bucket_cap, observation=obs
+    )
+
+    dirty = False
+    if obs is not None:
+        # one materialization: verification consumes the checkpointed
+        # pairs (no recompute), and the action flushes the observation
+        pairs = pairs.localCheckpoint(eager=True)
+        try:
+            max_bsz = (obs.get or {}).get("max_bsz")
+        except Exception:
+            # AQE's empty-relation propagation replaces the observed
+            # subtree when the post-cap stream is EMPTY, losing the
+            # metrics row — which happens exactly when every banded row
+            # sat in an over-cap bucket (or the input was empty). Both
+            # cases are safe to treat as dirty: the residue pass on an
+            # empty input is a no-op.
+            max_bsz = None
+        dirty = max_bsz is None or max_bsz > bucket_cap
+    if recover_residue and dirty:
         res_sigs = sigs.join(residue, id_col, "left_semi")
         keyed = res_sigs.withColumn(
             "__fsig__",
@@ -327,13 +364,15 @@ def minhash_near_dup(
                     "after the 2x-bands recovery pass — finally dropped",
                     dropped,
                 )
-    elif log_skipped and not residue.isEmpty():
-        logger.warning(
-            "minhash LSH: %d docs sat in over-cap buckets (> %d) and "
-            "recovery is OFF — their candidate pairs are dropped",
-            residue.count(),
-            bucket_cap,
-        )
+    elif log_skipped and dirty:
+        n_dropped = residue.count()
+        if n_dropped:
+            logger.warning(
+                "minhash LSH: %d docs sat in over-cap buckets (> %d) and "
+                "recovery is OFF — their candidate pairs are dropped",
+                n_dropped,
+                bucket_cap,
+            )
 
     if verify == "exact":
         grams = base.select(id_col, "gs")

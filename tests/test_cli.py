@@ -312,3 +312,12 @@ def test_cli_validate_properties_pattern_file(spark, tmp_path):
     assert set(rejected) == {"Q2", "Q3", "Q5"}
     assert "measurement:maxval" in rejected["Q2"]
     assert "P9999:reject" in rejected["Q5"]
+
+
+def test_cli_export_graphml(spark, tmp_path):
+    out = str(tmp_path / "g.graphml")
+    rc = main(["export-graphml", "-i", SAMPLE, "-o", out])
+    assert rc == 0
+    doc = open(out).read()
+    assert doc.startswith('<?xml version="1.0"')
+    assert "<graphml" in doc and "<edge " in doc and "predicate" in doc

@@ -66,24 +66,68 @@ print(json.dumps({{"cpus": {cpus}, "docs": n, "rows": n_rows, "seconds": round(b
 
 
 def main():
+    """Official measurement protocol (same as tools/scaling_bench.py):
+    best-of-SCALING_REPEATS with the two levels ALTERNATING so drifting
+    co-tenant load hits both equally, loadavg recorded start/end, and a
+    commit+UTC-stamped machine-readable artifact
+    (BENCH/dedup_scaling_latest.json) beside the BASELINE.md row."""
+    import datetime as _dt
     import os
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n = int(os.environ.get("SCALING_N", "8"))
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     n4 = n * 4
-    rn = run_level(n, n_docs)
-    rn4 = run_level(n4, n_docs)
+    loadavg_start = os.getloadavg()
+    runs_n, runs_n4 = [], []
+    for _ in range(repeats):
+        runs_n.append(run_level(n, n_docs))
+        runs_n4.append(run_level(n4, n_docs))
+    loadavg_end = os.getloadavg()
+    rn = max(runs_n, key=lambda r: r["docs_per_sec"])
+    rn4 = max(runs_n4, key=lambda r: r["docs_per_sec"])
     eff = (rn4["docs_per_sec"] / rn["docs_per_sec"]) / 4
-    result = {f"local{n}": rn, f"local{n4}": rn4, "scaling_efficiency": round(eff, 3)}
+    try:
+        commit = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    result = {
+        "workload": "minhash_near_dup",
+        "n_docs": n_docs,
+        "n": n,
+        f"local{n}": rn,
+        f"local{n4}": rn4,
+        "all_runs": {f"local{n}": runs_n, f"local{n4}": runs_n4},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+        "loadavg_start": list(loadavg_start),
+        "loadavg_end": list(loadavg_end),
+        "measured_utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "commit": commit,
+    }
     print(json.dumps(result))
-    with open(REPO / "BENCH" / "BASELINE.md", "a") as f:
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    with open(bench_dir / "dedup_scaling_latest.json", "w") as f:
+        json.dump(result, f, indent=1)
+    with open(bench_dir / "BASELINE.md", "a") as f:
         f.write(
             f"\n### Dedup scaling sidebar: minhash_near_dup, {n_docs} docs "
-            f"(N={n}, best of 2)\n\n"
+            f"(N={n}, best of {repeats} alternating, "
+            f"loadavg {loadavg_start[0]:.2f}->{loadavg_end[0]:.2f}, "
+            f"commit {commit})\n\n"
             f"| parallelism | seconds | docs/sec |\n|---|---|---|\n"
             f"| local[{n}] | {rn['seconds']} | {rn['docs_per_sec']} |\n"
             f"| local[{n4}] | {rn4['seconds']} | {rn4['docs_per_sec']} |\n\n"
-            f"Scaling efficiency: **{eff:.3f}**\n"
+            f"Scaling efficiency: **{eff:.3f}** "
+            f"(target >= 0.8: {'MET' if eff >= 0.8 else 'NOT MET'}; "
+            f"artifact BENCH/dedup_scaling_latest.json)\n"
         )
 
 
