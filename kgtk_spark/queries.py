@@ -2372,17 +2372,26 @@ def q_tfidf_topk(spark, sf_dir):
 def q_graph_triangles(spark, sf_dir):
     """Triangle count on the part co-purchase graph via degree-
     oriented wedge join (each edge oriented low->high (degree, id), so
-    hub vertices never self-join their full neighbor list)."""
+    hub vertices never self-join their full neighbor list).
+
+    The engine keeps the NUMERIC partkeys as node ids: the triangle
+    count is invariant under any injective relabeling ('P' || k <-> k
+    is a bijection and orientation by (degree, id) is acyclic for any
+    total order on ids), and integer keys shuffle/compare far cheaper
+    than strings — the oracle's string labels exist only to express
+    the same graph in SQL."""
     from kgtk_spark.graph.stats import triangle_count
 
     li = load(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("p"),
-        "l_orderkey",
+        F.col("l_partkey").alias("p"), "l_orderkey"
     )
+    # shuffle_hash: a broadcast of the 6M-row projected lineitem is
+    # slower to build than a hash-partitioned join and dies at scale;
+    # the per-partition build side is tiny (rows/partitions).
     pairs = (
         li.alias("a")
         .join(
-            li.alias("b"),
+            li.alias("b").hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.p") < F.col("b.p")),
         )
