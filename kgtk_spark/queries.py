@@ -67,13 +67,27 @@ edges AS (
 """
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
     # Pin the session timezone so timestamp rendering/date_trunc match
     # DuckDB's naive reading of the same parquet regardless of the
     # harness session's default TZ (the events table carries
     # timestamp[us] without UTC adjustment).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        # Single-row-group parquet files cap the scan at one task, so
+        # the whole map side (tokenize/explode/mapInPandas) runs on one
+        # core. Round-robin repartition ONLY when the scan has fewer
+        # partitions than the session parallelism — a no-op at real
+        # scale where splits >> cores (guide §2.5 "input skew"). Safe
+        # only for order-insensitive queries (every documents/events
+        # query here aggregates per row, doc or group).
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p * 2)
+    return df
 
 
 def tpch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1649,7 +1663,7 @@ def q_wav_features(spark, sf_dir):
     ``audio_features``'s actual WAV decode + RMS/zero-crossing."""
     from kgtk_spark.textops.multimodal import audio_features
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def build(batches):
         import io
@@ -1702,7 +1716,7 @@ def q_png_thumbnails(spark, sf_dir):
     zlib-inflate PNG decoder -> 4x4 block-mean thumbnails."""
     from kgtk_spark.textops.multimodal import thumbnail_image
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def build(batches):
         import struct
@@ -1765,7 +1779,7 @@ def q_jpeg_features(spark, sf_dir):
     -> 4x4 block-mean thumbnails, exact vs the pixel formula."""
     from kgtk_spark.textops.multimodal import thumbnail_image
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
 
     def build(batches):
         import numpy as np
@@ -1844,7 +1858,7 @@ def q_span_dedup(spark, sf_dir):
     survivors rejoin in order."""
     from kgtk_spark.textops.dedup import remove_duplicate_spans
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return remove_duplicate_spans(docs, n=8, min_occurrences=2)
 
 
@@ -1883,7 +1897,7 @@ def q_span_dedup_keepone(spark, sf_dir):
     survives; later copies are cut."""
     from kgtk_spark.textops.dedup import remove_duplicate_spans
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return remove_duplicate_spans(
         docs, n=8, min_occurrences=2, policy="keep_first"
     )
@@ -1945,7 +1959,7 @@ def q_gopher_quality(spark, sf_dir):
     for the synthetic short-doc corpus."""
     from kgtk_spark.textops.quality import gopher_quality_flags
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     out = gopher_quality_flags(docs, min_words=20)
     return out.select(
         "doc_id",
@@ -1985,7 +1999,7 @@ def q_c4_filters(spark, sf_dir):
     document gates (thresholds relaxed for the synthetic short docs)."""
     from kgtk_spark.textops.quality import c4_filters
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     out = c4_filters(docs, min_words_per_line=2, min_sentences=2)
     return out.select(
         "doc_id", "clean_text",
