@@ -85,12 +85,15 @@ def components_auto(
     input is checkpointed once, so the upstream pipeline (LSH, verify,
     extraction) never executes twice."""
     pairs = pairs.where(F.col("u") != F.col("v")).localCheckpoint()
-    n = pairs.count()
-    if n == 0:
+    # take(threshold + 1) answers "small enough for the driver?" AND,
+    # when yes, already delivers the rows — one incremental job instead
+    # of a full count followed by a collect.
+    head = pairs.take(driver_threshold + 1)
+    if not head:
         return pairs.sparkSession.createDataFrame(
             [], "node string, component string"
         )
-    if n > driver_threshold:
+    if len(head) > driver_threshold:
         return _components_fixpoint(pairs, max_iterations=max_iterations)
 
     parent: dict = {}
@@ -102,7 +105,7 @@ def components_auto(
         return x
 
     nodes = set()
-    for row in pairs.collect():
+    for row in head:
         u, v = row["u"], row["v"]
         nodes.add(u)
         nodes.add(v)

@@ -127,24 +127,36 @@ class TokenDictMatcher:
         self.index = index
 
     def find(self, text: str) -> list[tuple[int, int, str]]:
-        toks = [(m.start(), m.end(), m.group()) for m in self._TOK.finditer(text)]
+        # words in one C pass; spans materialized lazily per hit from
+        # the match objects (most tokens miss the index entirely, so
+        # avoid building 3-tuples for every token)
+        matches = self._TOK.findall(text)
         out: list[tuple[int, int, str]] = []
-        i, n = 0, len(toks)
+        i, n = 0, len(matches)
         index = self.index
+        get = index.get
+        hits_idx: list[tuple[int, int, str]] = []
         while i < n:
-            cands = index.get(toks[i][2])
-            hit = None
+            cands = get(matches[i])
             if cands:
                 for c in cands:
                     L = len(c)
-                    if i + L <= n and all(toks[i + k][2] == c[k] for k in range(1, L)):
-                        hit = (toks[i][0], toks[i + L - 1][1], " ".join(c))
+                    if i + L <= n and all(
+                        matches[i + k] == c[k] for k in range(1, L)
+                    ):
+                        hits_idx.append((i, i + L - 1, " ".join(c)))
                         i += L
                         break
-            if hit:
-                out.append(hit)
+                else:
+                    i += 1
             else:
                 i += 1
+        if not hits_idx:
+            return out
+        # one finditer pass to resolve char offsets of hit tokens only
+        spans = [m.span() for m in self._TOK.finditer(text)]
+        for i0, i1, pat in hits_idx:
+            out.append((spans[i0][0], spans[i1][1], pat))
         return out
 
 

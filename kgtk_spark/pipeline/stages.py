@@ -131,24 +131,35 @@ def detect_mentions(
     use_token = matcher == "token"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if use_token:
             m = token_matcher_for(bc.value)
             finder = m.find
         else:
             automaton = automaton_for(bc.value)
             finder = lambda t: find_mentions(t, automaton)  # noqa: E731
+        empty: list = []
         for pdf in batches:
-            urls, begins, ends, surfaces = [], [], [], []
-            for url, text in zip(pdf["url"], pdf["text"]):
-                if not text:
-                    continue
-                for b, e, pat in finder(text):
-                    urls.append(url)
-                    begins.append(b)
-                    ends.append(e)
-                    surfaces.append(pat)
+            # per-page match lists, then ONE vectorized assembly: the
+            # url column is np.repeat over per-page counts and the int
+            # spans land in int32 numpy arrays — no per-mention Python
+            # append into object columns (guide §4.2).
+            per = [finder(t) if t else empty for t in pdf["text"]]
+            counts = [len(x) for x in per]
+            flat = [hit for page in per for hit in page]
+            n = len(flat)
             yield pd.DataFrame(
-                {"url": urls, "begin": begins, "end": ends, "surface": surfaces}
+                {
+                    "url": np.repeat(pdf["url"].to_numpy(), counts),
+                    "begin": np.fromiter(
+                        (h[0] for h in flat), dtype=np.int32, count=n
+                    ),
+                    "end": np.fromiter(
+                        (h[1] for h in flat), dtype=np.int32, count=n
+                    ),
+                    "surface": [h[2] for h in flat],
+                }
             )
 
     return pages.select("url", "text").mapInPandas(run, schema=MENTIONS_SCHEMA)
