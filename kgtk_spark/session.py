@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan-parallelism FLOOR proportional to the session's cores:
+        # single-file/single-row-group inputs otherwise scan as one
+        # task. At cluster scale splits >> cores, so this is a no-op
+        # there (guide §6: split sizing should grow, not shrink, with
+        # data volume — a floor keyed to cores does exactly that).
+        .config("spark.sql.files.minPartitionNum", str(2 * shuffle_partitions))
         # Arrow transfer for pandas UDFs — the only sanctioned Python path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -146,15 +146,21 @@ def repetition_signals(
     the standard repetitious-text filters for web training corpora
     (Rae et al. 2021 "Scaling Language Models", table A1).
 
-    Shape: explode tokens → two hash aggregations; bigrams come from a
-    positional self-join (JVM codegen; no per-gram higher-order
-    function, which measures ~4× slower). Docs with fewer than 2
-    tokens are excluded (no bigram denominator).
+    Shape: ONE token explode, ONE exchange. The exploded stream is
+    hash-repartitioned by doc id; both aggregation branches and the
+    final join then run without further exchanges (partitioning on
+    [id] satisfies every downstream clustering on [id, ...], and the
+    two branches reuse the same shuffle — guide §2.4 "two operations
+    keyed the same way can share one exchange"). Bigrams pair each
+    token with its successor via lead() over (id, pos) instead of the
+    old positional self-join (two more exchanges + a join of every
+    token occurrence). Docs with fewer than 2 tokens are excluded (no
+    bigram denominator).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = _spread(df).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "w")
-    )
+    ).repartition(F.col(id_col))
     words = (
         t.groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -165,11 +171,13 @@ def repetition_signals(
             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_w"),
         )
     )
-    ta = t.select(F.col(id_col), F.col("pos"), F.col("w").alias("w1"))
-    tb = t.select(F.col(id_col), (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
+    from pyspark.sql import Window
+
+    w_next = Window.partitionBy(id_col).orderBy("pos")
     bigrams = (
-        ta.join(tb, [id_col, "pos"])
-        .select(id_col, F.concat_ws(" ", "w1", "w2").alias("bg"))
+        t.withColumn("w2", F.lead("w").over(w_next))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, F.concat_ws(" ", "w", "w2").alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
@@ -276,6 +284,7 @@ def unigram_cross_entropy(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tf_weighted: bool = False,
 ) -> DataFrame:
     """CCNet-style cheap LM quality proxy: score each doc by the
     cross-entropy of its tokens under the CORPUS unigram distribution
@@ -286,12 +295,46 @@ def unigram_cross_entropy(
 
     Returns (id, n_tokens, unigram_xent); empty docs drop out.
 
-    Plan: one token explode feeding ONE frequency aggregation (map-side
-    partial), the corpus total as a 1-row broadcast (no driver action,
-    stays lazy), a token-keyed join back (hot tokens join a VOCAB-sized
-    dim, AQE-splittable), and a per-doc average. No Python anywhere.
+    Default plan: one token explode feeding ONE frequency aggregation
+    (map-side partial), the corpus total as a 1-row broadcast (no
+    driver action, stays lazy), a token-keyed join back, and a per-doc
+    average. The join's dimension side is vocabulary-sized, so the
+    planner broadcasts it whenever it fits — hot tokens then never
+    cross a shuffle at all. No Python anywhere.
+
+    ``tf_weighted=True`` is the skew-proof variant for corpora whose
+    VOCABULARY is too big to broadcast (the r5 review's stop-word
+    concern): tokens are first collapsed to per-doc (token, tf) rows
+    — uniform keys, map-side partial agg — so a stop-word appearing
+    10^12 times corpus-wide crosses the shuffle join as one row per
+    doc, and the per-doc mean is tf-weighted (sum(tf·log2 p)/sum(tf),
+    same value as the occurrence average up to float addition order,
+    which the ROUND(...,6) contract absorbs). Measured at sf1.0 the
+    default is ~25% faster (short docs repeat few tokens, so the
+    pre-aggregation does not pay locally); at 100 TB with a shuffle
+    join the weighted path is the one that survives.
     """
     toks = _tokens(docs, text_col, id_col)
+    if tf_weighted:
+        tf = (
+            toks.groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).alias("__tf__"))
+            .localCheckpoint()
+        )
+        freq = tf.groupBy("token").agg(F.sum("__tf__").alias("__cnt__"))
+        total = freq.agg(F.sum("__cnt__").cast("double").alias("__total__"))
+        scored = tf.join(freq, "token").crossJoin(F.broadcast(total))
+        return scored.groupBy(id_col).agg(
+            F.sum("__tf__").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("__tf__")
+                    * F.log2(F.col("__cnt__") / F.col("__total__"))
+                )
+                / F.sum("__tf__"),
+                6,
+            ).alias("unigram_xent"),
+        )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt__"))
     total = freq.agg(F.sum("__cnt__").cast("double").alias("__total__"))
     scored = toks.join(freq, "token").crossJoin(F.broadcast(total))
@@ -320,10 +363,18 @@ def tfidf_top_terms(
     aggregation derived FROM the tf frame (no second pass over the
     text), doc count as a 1-row broadcast, and a per-doc window for
     the top-k. The window partitions on doc id — per-partition state
-    is one doc's vocabulary, never corpus-scale.
+    is one doc's vocabulary, never corpus-scale. tf is
+    localCheckpoint-ed: it feeds both the df aggregation and the join,
+    and without the checkpoint Catalyst re-executes the whole
+    explode + aggregate subtree for each consumer (two full scans in
+    the r5 plan).
     """
     toks = _tokens(docs, text_col, id_col)
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df__"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
     score = F.round(

@@ -790,6 +790,16 @@ def test_unigram_cross_entropy(spark):
     assert abs(out[1]["unigram_xent"] - (-math.log2(8 / 10))) < 1e-6
     assert abs(out[3]["unigram_xent"] - (-math.log2(1 / 10))) < 1e-6
     assert out[3]["unigram_xent"] > out[1]["unigram_xent"]
+    # the skew-proof tf-weighted plan must agree with the default to
+    # the ROUND(6) contract on every row
+    tfw = {
+        r["doc_id"]: r
+        for r in unigram_cross_entropy(docs, tf_weighted=True).collect()
+    }
+    assert set(tfw) == set(out)
+    for k in out:
+        assert tfw[k]["n_tokens"] == out[k]["n_tokens"]
+        assert abs(tfw[k]["unigram_xent"] - out[k]["unigram_xent"]) < 1e-9
 
 
 def test_tfidf_top_terms(spark):
