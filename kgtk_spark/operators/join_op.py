@@ -107,9 +107,16 @@ def kgtk_join(
     rk = _with_key(rc, rkey)
 
     if how == "inner":
+        # The qualifying key set feeds BOTH semi-joins; without the
+        # checkpoint Catalyst re-executes the whole two-sided
+        # distinct+intersect subtree per consumer (the r5 plan carried
+        # 12 scans for one join). Materialized it is |left keys ∩
+        # right keys| rows — bounded by the smaller side, executor-
+        # resident, and small enough for AQE to broadcast the probes.
         keys = (
             lk.select(_KEY_HASH_COL)
             .intersect(rk.select(_KEY_HASH_COL))
+            .localCheckpoint()
         )
         lout = lk.join(keys, on=_KEY_HASH_COL, how="left_semi")
         rout = rk.join(keys, on=_KEY_HASH_COL, how="left_semi")

@@ -1026,6 +1026,12 @@ def q_wikidata_rdf(spark, sf_dir):
     edges = parts[0]
     for p in parts[1:]:
         edges = edges.unionByName(p)
+    # the generator references the edge frame from every output branch;
+    # checkpointing collapses the re-expanded union-of-scans (29 scans
+    # of nation in the r5 plan) into one materialization and shrinks
+    # the plan the driver must optimize — this query is fixed-overhead
+    # dominated (355 rows), so plan size IS its cost.
+    edges = edges.localCheckpoint()
     props = spark.createDataFrame(
         [("P17", "item"), ("P1082", "quantity")], "node1 string, node2 string"
     )
