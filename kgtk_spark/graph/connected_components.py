@@ -347,11 +347,12 @@ def scc_auto(
     color, so #rounds ≤ the longest chain of SCCs dominated by a single
     color. The adversarial shape is many small cycles chained by
     one-way edges — the global min id's color floods the whole chain
-    and exactly ONE SCC peels per round. The loop is therefore capped
-    at ``max_rounds``; whatever survives the cap is finished exactly by
-    driver Tarjan (each peel strictly shrinks the live graph, so the
-    residue is the deep-chain tail, vastly smaller than the input —
-    the adversarial case is pathological DEPTH, not size).
+    and exactly ONE SCC peels per round. After ``max_rounds`` the loop
+    hands the residue to driver Tarjan ONLY once it fits
+    ``driver_threshold`` edges; a residue still above the threshold
+    keeps peeling distributed (progress is guaranteed — every round
+    removes at least one SCC per color), so no input shape can force
+    an unbounded driver collect (r5 review, "What's wrong" #3).
 
     ``round_log``: optional list; one entry (live-edge count) is
     appended per outer round — used by tests to assert the bound.
@@ -377,11 +378,13 @@ def scc_auto(
 
     assigned = spark.createDataFrame([], "node string, component string")
     live = pairs
-    for _ in range(max_rounds):
-        if live.isEmpty():
-            break
+    rounds = 0
+    while not live.isEmpty():
+        if rounds >= max_rounds and live.count() <= driver_threshold:
+            break  # residue is driver-sized — finish exactly below
         if round_log is not None:
             round_log.append(live.count())
+        rounds += 1
         # 1) forward min-label fixpoint (color): color(v) = min node id
         # that reaches v (including itself)
         nodes = (

@@ -355,23 +355,36 @@ def group_percentiles(
     value_col: str = "value",
     group_col: str = "event_type",
     percentiles: tuple = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact interpolated percentiles of ``value_col`` per group —
-    (group, p, percentile_value), one output row per group x p.
+    """Percentiles of ``value_col`` per group — (group, p,
+    percentile_value), one output row per group x p.
 
-    Uses Spark's exact ``percentile`` aggregate (continuous
-    interpolation at rank p*(n-1), the same definition as ANSI
-    ``percentile_cont`` / DuckDB ``quantile_cont``, so the values are
-    engine-portable). One hash aggregation; per-group state is the
-    value multiset — exact percentiles fundamentally need it, and at
-    100 TB the move is ``approx_percentile`` with a bounded sketch,
-    kept here as the same call shape. The array unpivot after the agg
-    is row-bounded by |groups| x |percentiles|.
+    ``exact=True`` (default, the oracle-checked path) uses Spark's
+    exact ``percentile`` aggregate (continuous interpolation at rank
+    p*(n-1), the same definition as ANSI ``percentile_cont`` / DuckDB
+    ``quantile_cont``, so the values are engine-portable). Per-group
+    state is the value multiset — exact percentiles fundamentally
+    need it.
+
+    ``exact=False`` is the 100 TB configuration: ``approx_percentile``
+    with a BOUNDED KLL-style sketch per group (state O(accuracy), not
+    O(rows)); ``accuracy`` trades memory for rank error ~1/accuracy.
+    Same call shape and output schema so pipeline callers flip one
+    flag instead of hand-rolling the swap (r5 review item #5).
+
+    The array unpivot after the agg is row-bounded by
+    |groups| x |percentiles|.
     """
     plist = ", ".join(repr(float(p)) for p in percentiles)
-    agg = events.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, array({plist}))").alias("__pv__")
-    )
+    if exact:
+        pexpr = f"percentile({value_col}, array({plist}))"
+    else:
+        pexpr = (
+            f"approx_percentile({value_col}, array({plist}), {int(accuracy)})"
+        )
+    agg = events.groupBy(group_col).agg(F.expr(pexpr).alias("__pv__"))
     pairs = F.arrays_zip(
         F.array(*[F.lit(float(p)) for p in percentiles]).alias("p"),
         F.col("__pv__").alias("v"),

@@ -305,13 +305,29 @@ def test_scc_chain_of_cycles_worst_case(spark):
 
     drv = {(r["node"], r["component"]) for r in scc_auto(pairs).collect()}
 
-    # Cap far below n_cycles: the fallback must still be exact.
+    # Cap far below n_cycles with a residue ABOVE the driver threshold:
+    # the loop must KEEP PEELING distributed (no unbounded collect — r5
+    # review item #3), only handing over once the residue fits.
     rounds: list = []
     capped = {(r["node"], r["component"])
               for r in scc_auto(pairs, driver_threshold=0, max_rounds=3,
                                 round_log=rounds).collect()}
     assert capped == drv
-    assert len(rounds) == 3  # the cap held — one peel per round, then Tarjan
+    # threshold 0 means the driver fallback is never taken: every round
+    # past the cap still ran distributed and live stayed > threshold
+    assert len(rounds) == n_cycles
+    assert all(c > 0 for c in rounds)
+
+    # mid-size threshold: peel past the cap until the residue fits,
+    # then finish on the driver with a BOUNDED collect
+    rounds = []
+    capped2 = {(r["node"], r["component"])
+               for r in scc_auto(pairs, driver_threshold=10, max_rounds=3,
+                                 round_log=rounds).collect()}
+    assert capped2 == drv
+    assert len(rounds) > 3  # kept peeling past the cap
+    # every post-cap distributed round was justified: live > threshold
+    assert all(c > 10 for c in rounds[3:])
 
     # Uncapped: one SCC peels per round → exactly n_cycles rounds.
     rounds = []

@@ -257,3 +257,26 @@ def test_kmv_sketch_accuracy_and_merge(spark):
     m = {r["grp"]: r["sketch"] for r in merged.collect()}
     d = {r["grp"]: r["sketch"] for r in direct.collect()}
     assert m == d
+
+
+def test_group_percentiles_approx_matches_exact(spark):
+    """exact=False (the 100 TB sketch path) must agree with the exact
+    percentile aggregate within the sketch's rank-error tolerance on
+    the events fixture — r5 review item #5."""
+    from kgtk_spark.textops.olap import group_percentiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        (r["event_type"], r["p"]): r["percentile_value"]
+        for r in group_percentiles(ev).collect()
+    }
+    approx = {
+        (r["event_type"], r["p"]): r["percentile_value"]
+        for r in group_percentiles(ev, exact=False, accuracy=10_000).collect()
+    }
+    assert set(exact) == set(approx)
+    vals = ev.agg(F.min("value"), F.max("value")).first()
+    spread = float(vals[1] - vals[0])
+    for key, ev_exact in exact.items():
+        # rank error ~1/accuracy; allow 1% of the value range as slack
+        assert abs(approx[key] - ev_exact) <= 0.01 * spread + 1e-9, key

@@ -354,6 +354,31 @@ def test_ivf_topk_overlaps_exact(spark, emb):
     assert full == exact
 
 
+def test_ivf_recall_gate(spark, emb):
+    """Recall@10 of the IVF path vs exhaustive cosine_topk, averaged
+    over 10 fixture queries at nprobe=4/8 — the quality number behind
+    the 'ANN scales to 100 TB' claim (r5 review item #6)."""
+    from kgtk_spark.textops.similarity import ivf_build, ivf_topk
+
+    assigned, centroids = ivf_build(emb, n_lists=8)
+    assigned = assigned.cache()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", "embedding"
+    ).collect()
+    hits = total = 0
+    for row in queries:
+        q = list(row["embedding"])
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(assigned, centroids, q, k=10, nprobe=4).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall@10 at nprobe=4: {recall:.3f} < 0.9"
+
+
 def test_clean_corpus_composition(spark):
     from kgtk_spark.textops import clean_corpus
 
