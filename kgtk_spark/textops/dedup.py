@@ -757,14 +757,19 @@ def decontaminate(
     semi-join, one left join back to ids: no quadratic path anywhere.
     """
     gh = _gram_hash_col(n)
+    # checkpoint: the benchmark gram set is consumed by the sizing
+    # count AND the semi-join — without it the explode + distinct
+    # subtree (a Python gram kernel) executes twice
     bench = (
-        benchmark.select(
+        _spread(benchmark).select(
             F.explode(gh(token_hashes(F.col(bench_text_col)))).alias("__gh__")
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint()
     )
     if bench.count() <= broadcast_threshold:
         bench = F.broadcast(bench)
-    doc_grams = docs.select(
+    doc_grams = _spread(docs).select(
         F.col(id_col), F.explode(gh(token_hashes(F.col(text_col)))).alias("__gh__")
     )
     hits = (

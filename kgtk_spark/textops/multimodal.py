@@ -439,12 +439,16 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
 
 
 def _jpeg_baseline_plane(comps, scan_rec, hmax, vmax, mcux, mcuy, yq):
-    """Sequential-mode MCU loop (single interleaved scan)."""
+    """Sequential-mode MCU loop (single interleaved scan). Huffman
+    decoding stays per-symbol (inherently serial), but the luma IDCT
+    runs ONCE, batched over all blocks at the end (einsum), instead of
+    two 8x8 matmuls per block inside the bit loop."""
     scan, _ss, _se, _ah, _al, huffs, restart_interval, segments = scan_rec
     yi = scan[0][0]
     ych, ycv = comps[yi][1], comps[yi][2]
-    yplane = np.zeros((mcuy * ycv * 8, mcux * ych * 8))
     n_mcu = mcux * mcuy
+    bw, bh = mcux * ych, mcuy * ycv
+    ycoefs = np.zeros((bh * bw, 64))
     per_seg = restart_interval if restart_interval else n_mcu
     mcu = 0
     for seg_bytes in segments:
@@ -475,14 +479,16 @@ def _jpeg_baseline_plane(comps, scan_rec, hmax, vmax, mcux, mcuy, yq):
                                 k += r
                                 coef[_JPEG_ZIGZAG[k]] = _extend(reader.bits(s), s)
                                 k += 1
-                        if ci == yi:  # IDCT only the luma plane
-                            blk = coef.reshape(8, 8) * yq
-                            px = _IDCT_M.T @ blk @ _IDCT_M + 128.0
-                            r0 = (my * ycv + by) * 8
-                            c0 = (mx * ych + bx) * 8
-                            yplane[r0 : r0 + 8, c0 : c0 + 8] = px
+                        if ci == yi:  # stash zigzag coefs; IDCT batched
+                            br = my * ycv + by
+                            bc = mx * ych + bx
+                            ycoefs[br * bw + bc] = coef
             mcu += 1
-    return yplane
+    deq = ycoefs.reshape(bh * bw, 8, 8) * yq
+    px = (_IDCT_M.T @ deq) @ _IDCT_M + 128.0  # batched over blocks
+    return (
+        px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
 
 
 def _jpeg_progressive_plane(b, comps, scans, h, w, hmax, vmax, mcux, mcuy, yq):
@@ -609,9 +615,13 @@ def _jpeg_progressive_plane(b, comps, scans, h, w, hmax, vmax, mcux, mcuy, yq):
     bh_pad, bw_pad = zz.shape[0], zz.shape[1]
     raster = np.zeros((bh_pad, bw_pad, 64))
     raster[:, :, _JPEG_ZIGZAG] = zz
-    deq = raster.reshape(bh_pad, bw_pad, 8, 8) * yq
-    px = np.einsum("ux,rcuv,vy->rcxy", _IDCT_M, deq, _IDCT_M) + 128.0
-    return px.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
+    deq = raster.reshape(bh_pad * bw_pad, 8, 8) * yq
+    px = (_IDCT_M.T @ deq) @ _IDCT_M + 128.0  # batched over blocks
+    return (
+        px.reshape(bh_pad, bw_pad, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_pad * 8, bw_pad * 8)
+    )
 
 
 def _enc_dct_matrix() -> np.ndarray:
@@ -619,6 +629,10 @@ def _enc_dct_matrix() -> np.ndarray:
     m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
     m[0] /= np.sqrt(2.0)
     return m
+
+
+# constant — computed once, not per encoded image
+_ENC_DCT_M = _enc_dct_matrix()
 
 
 def _enc_magnitude(v: int) -> tuple[int, int]:
@@ -716,35 +730,46 @@ def encode_gray_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
         if quant is None
         else np.asarray(quant, dtype=np.int64).ravel()
     )
-    d = _enc_dct_matrix()
+    d = _ENC_DCT_M
     mcux, mcuy = (w + 7) // 8, (h + 7) // 8
     padded = np.pad(
         img, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"
     ).astype(np.float64)
 
+    # DCT of every block in one einsum (d @ blk @ d.T batched), then
+    # zigzag + quantize vectorized — the per-block Python loop below
+    # only does run-length coding over the (mostly zero) coefficients
+    blk_grid = (
+        padded.reshape(mcuy, 8, mcux, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(mcuy * mcux, 8, 8)
+        - 128.0
+    )
+    coef_all = (d @ blk_grid) @ d.T  # broadcast over the block axis
+    zz_all = np.round(
+        coef_all.reshape(mcuy * mcux, 64)[:, _JPEG_ZIGZAG] / q
+    ).astype(np.int64)
+
     blocks: list[tuple[int, list[tuple[int, int]], bool]] = []
     pred = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-            coef = d @ blk @ d.T
-            zz = np.round(coef.ravel()[_JPEG_ZIGZAG] / q).astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            acs: list[tuple[int, int]] = []
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                if zz[k] == 0:
-                    run += 1
-                    if run == 16:
-                        acs.append((15, 0))  # ZRL
-                        run = 0
-                else:
-                    acs.append((run, int(zz[k])))
+    for bi in range(mcuy * mcux):
+        zz = zz_all[bi]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        acs: list[tuple[int, int]] = []
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                if run == 16:
+                    acs.append((15, 0))  # ZRL
                     run = 0
-            blocks.append((diff, acs, last < 63))  # no EOB when k=63 ends
+            else:
+                acs.append((run, int(zz[k])))
+                run = 0
+        blocks.append((diff, acs, last < 63))  # no EOB when k=63 ends
 
     dc_syms = [_enc_magnitude(diff)[0] for diff, _, _ in blocks]
     ac_syms: list[int] = []
@@ -967,6 +992,14 @@ THUMBNAIL_SCHEMA = T.StructType(
 def _block_mean(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Vectorized block-mean downsample of a 2-D array to (out_h, out_w)."""
     ih, iw = arr.shape
+    if ih % out_h == 0 and iw % out_w == 0 and ih >= out_h and iw >= out_w:
+        # evenly-divisible fast path: one reshape + mean, no per-cell
+        # Python slicing (identical cell boundaries to the generic
+        # path: linspace over a divisible range lands on multiples)
+        return (
+            arr.reshape(out_h, ih // out_h, out_w, iw // out_w)
+            .mean(axis=(1, 3))
+        )
     ys = np.linspace(0, ih, out_h + 1).astype(int)
     xs = np.linspace(0, iw, out_w + 1).astype(int)
     return np.array(

@@ -55,8 +55,13 @@ for _ in range(2):
     best = dt if best is None or dt < best else best
 print(json.dumps({{"cpus": {cpus}, "docs": n, "rows": n_rows, "seconds": round(best, 3), "docs_per_sec": round(n / best, 1)}}))
 """
+    # 3.2M docs on local[2] runs ~12 min for generation + two timed
+    # passes; give each level headroom (overridable for CI smoke runs)
+    import os as _os
+
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200,
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=int(_os.environ.get("SCALING_LEVEL_TIMEOUT", "3600")),
         cwd=str(REPO),
     )
     for line in out.stdout.splitlines():
