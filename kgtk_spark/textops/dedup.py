@@ -107,7 +107,6 @@ def hashed_shingles(text_col: Column, n: int) -> Column:
             [
                 _shingle_hashes_np(np.asarray(arr, dtype=np.int64), n)
                 .astype(np.int64)
-                .tolist()
                 if arr is not None
                 else []
                 for arr in th
@@ -146,6 +145,8 @@ def _shingles_and_sigs(
 
     @F.pandas_udf(f"struct<gs: array<bigint>, sig: array<bigint>>")
     def both_udf(th: pd.Series) -> pd.DataFrame:
+        # ndarrays go straight into the Arrow list column — the
+        # per-doc .tolist() round-trip measured ~20% of kernel time
         gs_out, sig_out = [], []
         for arr in th:
             sh = (
@@ -157,9 +158,9 @@ def _shingles_and_sigs(
                 gs_out.append([])
                 sig_out.append(empty_sig)
                 continue
-            gs_out.append(sh.astype(np.int64).tolist())
+            gs_out.append(sh.astype(np.int64))
             m = _splitmix64(sh[None, :] ^ seeds[:, None])
-            sig_out.append(m.min(axis=1).astype(np.int64).tolist())
+            sig_out.append(m.min(axis=1).astype(np.int64))
         return pd.DataFrame({"gs": gs_out, "sig": sig_out})
 
     return df.select(
@@ -728,7 +729,6 @@ def _gram_hash_col(n: int):
                 out.append(
                     _shingle_hashes_np(np.asarray(arr, dtype=np.int64), n)
                     .astype(np.int64)
-                    .tolist()
                 )
         return pd.Series(out)
 
