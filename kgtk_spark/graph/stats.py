@@ -373,7 +373,7 @@ def triangle_count(
     edges: DataFrame,
     node1: str | None = None,
     node2: str | None = None,
-    broadcast_edge_limit: int = 50_000_000,
+    broadcast_edge_limit: int = 30_000_000,
 ) -> DataFrame:
     """Global triangle count of the UNDIRECTED simple graph underlying
     the edge frame — one row ``(n_triangles)``.
@@ -395,8 +395,9 @@ def triangle_count(
     probe broadcasts the oriented edge set while it has at most
     ``broadcast_edge_limit`` rows — the wedges then never cross an
     exchange (they are generated, probed against the broadcast hash
-    and partially counted inside one stage). Above the limit it falls
-    back to the hash-partitioned shuffle join, which scales without a
+    and partially counted inside one stage). The 30M default keeps the
+    built relation under ~1 GB of heap. Above the limit it falls back
+    to the hash-partitioned shuffle join, which scales without a
     driver-sized build. Integral node ids in [0, 2^31) are packed into
     one long per edge ((x << 32) + y) so the hot probe runs against a
     single-long key instead of a two-column row.

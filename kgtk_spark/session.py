@@ -51,7 +51,11 @@ def get_spark(
         # Keep broadcast threshold generous: alias dictionaries / key sets
         # are the canonical small side of every semi-join here.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the "driver" JVM hosts every executor thread, so
+        # the heap serves 32 concurrent tasks + broadcasts; 16g default
+        # (still env-overridable) avoids GC thrash at the driver-chosen
+        # larger bench scale factors. Cluster deployments override.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
